@@ -1,0 +1,328 @@
+"""Geometry kernels: WKB, vectorized point-in-polygon, hulls, distance.
+
+From-scratch numpy replacements for the geopandas/shapely machinery the
+reference leans on (no shapely in this environment):
+
+- WKB encode/decode for Point/Polygon — the at-rest geometry format
+  (reference stores GeoParquet WKB, export/formats/geoparquet.py:67).
+- ``points_in_polygons`` — vectorized crossing-number test over
+  candidate (point, polygon) pairs; replaces shapely ``STRtree.query``
+  + ``contains``/``intersects`` (reference J1/J2/J3:
+  census/services/spatial_block_group_service.py:63-182,
+  census/infrastructure/geocoder.py:41-83). Boundary rule: points
+  exactly on edges follow the crossing-number parity (synthetic worlds
+  never place points on edges; documented contract).
+- ``GridIndex`` — exact uniform lat/lon bin index over polygon bboxes;
+  the broadcast-once probe-many spatial index (replaces STRtree).
+- ``haversine_km`` — great-circle distance (reference
+  isochrone/clustering.py:185-201).
+- centroid / convex hull / Douglas-Peucker simplify (reference M6/M7/M9:
+  distance/__init__.py:133-138, isochrone/__init__.py:136-139,
+  clustering.py:412-415).
+
+All hot-path entry points are vectorized over numpy arrays so they run
+inside ``map_batches`` without per-row Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+EARTH_RADIUS_KM = 6371.0088
+KM_PER_MILE = 1.609344
+
+
+# ---------------------------------------------------------------------------
+# Distance
+# ---------------------------------------------------------------------------
+
+def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in km; broadcasts over numpy arrays."""
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(a, dtype=np.float64))
+                              for a in (lat1, lon1, lat2, lon2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = (np.sin(dlat * 0.5) ** 2
+         + np.cos(lat1) * np.cos(lat2) * np.sin(dlon * 0.5) ** 2)
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# WKB (little-endian, 2D): Point (1), Polygon (3) with one outer ring
+# ---------------------------------------------------------------------------
+
+def wkb_point(lon: float, lat: float) -> bytes:
+    return struct.pack("<BIdd", 1, 1, float(lon), float(lat))
+
+
+def wkb_polygon(coords: np.ndarray) -> bytes:
+    """coords: (n, 2) array of (lon, lat); ring is closed automatically."""
+    c = np.asarray(coords, dtype=np.float64)
+    if not np.array_equal(c[0], c[-1]):
+        c = np.vstack([c, c[:1]])
+    head = struct.pack("<BIII", 1, 3, 1, len(c))
+    return head + c.astype("<f8").tobytes()
+
+
+def wkb_decode(buf: bytes):
+    """Decode a WKB blob -> ("point", (lon, lat)) or ("polygon", (n,2) array)."""
+    (byte_order, gtype) = struct.unpack_from("<BI", buf, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    if gtype == 1:
+        lon, lat = struct.unpack_from("<dd", buf, 5)
+        return "point", (lon, lat)
+    if gtype == 3:
+        (nrings,) = struct.unpack_from("<I", buf, 5)
+        if nrings < 1:
+            return "polygon", np.empty((0, 2))
+        (npts,) = struct.unpack_from("<I", buf, 9)
+        ring = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=13)
+        return "polygon", ring.reshape(npts, 2).copy()
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+# ---------------------------------------------------------------------------
+# Polygon set (padded, vectorized)
+# ---------------------------------------------------------------------------
+
+class PolygonSet:
+    """A batch of polygons as padded numpy arrays, ready for vectorized PIP.
+
+    verts: (n_polys, max_v, 2) float64 (lon, lat), padded by repeating the
+    last vertex (degenerate padded edges contribute nothing to the
+    crossing count). bbox: (n_polys, 4) = lon_min, lat_min, lon_max, lat_max.
+    """
+
+    __slots__ = ("verts", "nv", "bbox")
+
+    def __init__(self, polys: list[np.ndarray]):
+        n = len(polys)
+        nv = np.asarray([len(p) for p in polys], dtype=np.int64)
+        max_v = int(nv.max()) if n else 0
+        verts = np.zeros((n, max_v, 2), dtype=np.float64)
+        bbox = np.zeros((n, 4), dtype=np.float64)
+        for k, p in enumerate(polys):
+            p = np.asarray(p, dtype=np.float64)
+            # drop an explicit closing vertex; edges close implicitly
+            if len(p) > 1 and np.array_equal(p[0], p[-1]):
+                p = p[:-1]
+                nv[k] = len(p)
+            verts[k, : len(p)] = p
+            verts[k, len(p):] = p[-1]
+            bbox[k] = (p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max())
+        self.verts = verts
+        self.nv = nv
+        self.bbox = bbox
+
+    @classmethod
+    def from_wkb(cls, blobs) -> "PolygonSet":
+        return cls([wkb_decode(b)[1] for b in blobs])
+
+    def __len__(self) -> int:
+        return len(self.nv)
+
+
+def points_in_polygons(px: np.ndarray, py: np.ndarray, polyset: PolygonSet,
+                       pair_pt: np.ndarray, pair_poly: np.ndarray) -> np.ndarray:
+    """Crossing-number PIP over candidate pairs.
+
+    px/py: point lon/lat arrays. pair_pt/pair_poly: equal-length index
+    arrays naming the candidate (point, polygon) pairs to test. Returns a
+    boolean mask over pairs. Vectorized over pairs; loops only over the
+    (small, padded) polygon vertex count.
+    """
+    if len(pair_pt) == 0:
+        return np.zeros(0, dtype=bool)
+    x = px[pair_pt]
+    y = py[pair_pt]
+    v = polyset.verts[pair_poly]          # (m, max_v, 2)
+    max_v = v.shape[1]
+    inside = np.zeros(len(pair_pt), dtype=bool)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for k in range(max_v):
+            k2 = (k + 1) % max_v
+            x1, y1 = v[:, k, 0], v[:, k, 1]
+            x2, y2 = v[:, k2, 0], v[:, k2, 1]
+            cond = (y1 > y) != (y2 > y)
+            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= cond & (x < xint)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# GridIndex: uniform lat/lon bins over polygon bboxes (broadcast once)
+# ---------------------------------------------------------------------------
+
+class GridIndex:
+    """Exact uniform-grid spatial index over a PolygonSet.
+
+    Built once on the driver, ``ray.put`` the whole object, probed inside
+    actor-pool ``map_batches`` stages (the Ray-native replacement for the
+    reference's per-run STRtree / TIGER server-side spatial query).
+
+    Every polygon is registered in every bin its bbox overlaps (exact
+    integer ranges), so a probe point's bin always yields a superset of
+    its true containing polygons; candidates then pass a bbox test and
+    the exact crossing-number PIP.
+    """
+
+    def __init__(self, polyset: PolygonSet, bin_deg: float = 0.5):
+        self.polyset = polyset
+        self.bin_deg = float(bin_deg)
+        bb = polyset.bbox
+        if len(polyset) == 0:
+            self.lon0 = self.lat0 = 0.0
+            self.nbins_lon = 1
+            self._keys = np.empty(0, dtype=np.int64)
+            self._starts = np.empty(0, dtype=np.int64)
+            self._counts = np.empty(0, dtype=np.int64)
+            self._zids = np.empty(0, dtype=np.int64)
+            return
+        self.lon0 = float(bb[:, 0].min())
+        self.lat0 = float(bb[:, 1].min())
+        i_lo = np.floor((bb[:, 0] - self.lon0) / bin_deg).astype(np.int64)
+        j_lo = np.floor((bb[:, 1] - self.lat0) / bin_deg).astype(np.int64)
+        i_hi = np.floor((bb[:, 2] - self.lon0) / bin_deg).astype(np.int64)
+        j_hi = np.floor((bb[:, 3] - self.lat0) / bin_deg).astype(np.int64)
+        self.nbins_lon = int(i_hi.max()) + 2
+        keys, zids = [], []
+        for z in range(len(polyset)):
+            ii, jj = np.meshgrid(np.arange(i_lo[z], i_hi[z] + 1),
+                                 np.arange(j_lo[z], j_hi[z] + 1))
+            k = ii.ravel() * self.nbins_lon + jj.ravel()
+            keys.append(k)
+            zids.append(np.full(len(k), z, dtype=np.int64))
+        keys = np.concatenate(keys)
+        zids = np.concatenate(zids)
+        order = np.argsort(keys, kind="stable")
+        keys, zids = keys[order], zids[order]
+        uniq, starts, counts = np.unique(keys, return_index=True,
+                                         return_counts=True)
+        self._keys = uniq
+        self._starts = starts
+        self._counts = counts
+        self._zids = zids
+
+    def _bin_key(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        i = np.floor((lon - self.lon0) / self.bin_deg).astype(np.int64)
+        j = np.floor((lat - self.lat0) / self.bin_deg).astype(np.int64)
+        return i * self.nbins_lon + j
+
+    def candidates(self, lon: np.ndarray, lat: np.ndarray):
+        """Candidate (point_idx, poly_idx) pairs by bin lookup + bbox test."""
+        n = len(lon)
+        if n == 0 or len(self._keys) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        key = self._bin_key(np.asarray(lon, dtype=np.float64),
+                            np.asarray(lat, dtype=np.float64))
+        pos = np.searchsorted(self._keys, key)
+        pos = np.minimum(pos, len(self._keys) - 1)
+        hit = self._keys[pos] == key
+        counts = np.where(hit, self._counts[pos], 0)
+        starts = self._starts[pos]
+        tot = int(counts.sum())
+        if tot == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        pair_pt = np.repeat(np.arange(n, dtype=np.int64), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(tot, dtype=np.int64) - np.repeat(excl, counts)
+        pair_poly = self._zids[np.repeat(starts, counts) + within]
+        # bbox refine
+        bb = self.polyset.bbox[pair_poly]
+        x = np.asarray(lon, dtype=np.float64)[pair_pt]
+        y = np.asarray(lat, dtype=np.float64)[pair_pt]
+        ok = (x >= bb[:, 0]) & (x <= bb[:, 2]) & (y >= bb[:, 1]) & (y <= bb[:, 3])
+        return pair_pt[ok], pair_poly[ok]
+
+    def query(self, lon: np.ndarray, lat: np.ndarray):
+        """Exact containment pairs (point_idx, poly_idx)."""
+        pair_pt, pair_poly = self.candidates(lon, lat)
+        mask = points_in_polygons(np.asarray(lon, dtype=np.float64),
+                                  np.asarray(lat, dtype=np.float64),
+                                  self.polyset, pair_pt, pair_poly)
+        return pair_pt[mask], pair_poly[mask]
+
+
+# ---------------------------------------------------------------------------
+# Shape helpers (driver / small-side)
+# ---------------------------------------------------------------------------
+
+def regular_polygon(lat: float, lon: float, radius_deg: float, n: int,
+                    phase: float = 0.0, flatten: float = 1.0) -> np.ndarray:
+    """Convex n-gon around (lat, lon); (n, 2) (lon, lat) CCW vertices."""
+    ang = phase + np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    return np.column_stack([lon + radius_deg * np.cos(ang) * flatten,
+                            lat + radius_deg * np.sin(ang)])
+
+
+def polygon_centroid(coords: np.ndarray) -> tuple[float, float]:
+    """Area centroid (lon, lat) via the shoelace formula (reference M7)."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) > 1 and np.array_equal(c[0], c[-1]):
+        c = c[:-1]
+    x, y = c[:, 0], c[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    area2 = cross.sum()
+    if abs(area2) < 1e-300:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + x2) * cross).sum() / (3.0 * area2)
+    cy = ((y + y2) * cross).sum() / (3.0 * area2)
+    return float(cx), float(cy)
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; (m, 2) CCW hull of (n, 2) points (ref M9)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(iterable):
+        h: list[np.ndarray] = []
+        for p in iterable:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def simplify_polygon(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker simplification (reference M6,
+    isochrone/__init__.py:136-139 ``geometry.simplify``)."""
+    c = np.asarray(coords, dtype=np.float64)
+    closed = len(c) > 1 and np.array_equal(c[0], c[-1])
+    if closed:
+        c = c[:-1]
+    if len(c) <= 3:
+        return np.vstack([c, c[:1]]) if closed else c
+
+    keep = np.zeros(len(c), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(c) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = c[j] - c[i]
+        L = np.hypot(*seg)
+        pts = c[i + 1: j]
+        if L < 1e-300:
+            d = np.hypot(pts[:, 0] - c[i, 0], pts[:, 1] - c[i, 1])
+        else:
+            d = np.abs(np.cross(seg, pts - c[i])) / L
+        k = int(np.argmax(d))
+        if d[k] > tolerance:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    out = c[keep]
+    return np.vstack([out, out[:1]]) if closed else out
