@@ -1,16 +1,21 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or anywhere in socialmapper_ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-output convention (hash-stable across engines): per-row
+deterministic floats are ROUND(x, 6); order-dependent aggregates are
+rounded coarsely enough (2 decimals) that FP summation-order noise
+cannot cross a rounding boundary; ratios of small ints are emitted as
+``floor(x * 1e6)`` integers (identical single IEEE division on both
+sides). Every computed column carries the same name in the Ray pipeline
+and the SQL.
+
+Spatial queries run over the deterministic synthetic web-page world
+(socialmapper_ray/sources/synth.py) materialised under /tmp per sf dir;
+their oracles read the generator's independent ground-truth parquet.
+``oracle_sql()`` materialises the sf0.01 world before returning SQL (the
+driver compares at sf=0.01).
 """
 
 from __future__ import annotations
@@ -18,27 +23,81 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (pages -> POIs -> tiles -> PIP join -> zonal ->
+    demographic enrichment) on /root/testdata/sf0.001."""
+    from socialmapper_ray.pipelines import flagship
+
+    return flagship.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from socialmapper_ray.pipelines import relational as rel
+    from socialmapper_ray.pipelines import spatial as sp
+    from socialmapper_ray.pipelines import textops as tp
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- spatial engine (SURVEY.md §2: S2/S8, J1-J5, A2/A8, M4/M12, ST2/ST3)
+        "extract_pois": sp.extract_pois_q,
+        "pip_join": sp.pip_join_q,
+        "zonal_agg": sp.zonal_agg_q,
+        "knn_nearest": sp.knn_q,
+        "band_assign": sp.bands_q,
+        "enrich_zones": sp.enrich_zones_q,
+        "geoid_components": sp.geoid_components_q,
+        "scrub_demographics": sp.scrub_demographics_q,
+        # --- relational wide ops (groupby/join/sort/limit/window)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "events_hourly": rel.events_hourly,
+        "sessionize": rel.sessionize,
+        "top_events_by_value": rel.top_events_by_value,
+        "nation_rollup": rel.nation_rollup,
+        "lang_counts": rel.lang_counts,
+        # --- training-data ops (dedup / ANN / text analysis)
+        "dedup_exact": tp.dedup_exact_q,
+        "dedup_minhash_pairs": tp.minhash_pairs_q,
+        "dedup_simhash_pairs": tp.simhash_pairs_q,
+        "doc_fingerprint": tp.fingerprint_q,
+        "text_quality": tp.text_quality_q,
+        "lang_id": tp.lang_id_q,
+        "ann_topk": tp.ann_topk_q,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB equivalents. Spatial oracles read the generator's
+    ground-truth parquet (independent code path from the Ray pipeline).
+    Signature-based ops (minhash/simhash/fingerprint/lang_id) are
+    intentionally omitted -> rows-only check; their exactness is covered
+    by dual-oracle pytest (tests/test_dedup.py, tests/test_text.py).
     """
-    return {}
+    from socialmapper_ray.pipelines import relational as rel
+    from socialmapper_ray.pipelines import spatial as sp
+    from socialmapper_ray.pipelines import textops as tp
+    from socialmapper_ray.sources import synth
+
+    d = synth.ensure_synth(ORACLE_SF_DIR)
+    return {
+        "extract_pois": sp.extract_pois_sql(d),
+        "pip_join": sp.pip_join_sql(d),
+        "zonal_agg": sp.zonal_agg_sql(d),
+        "knn_nearest": sp.knn_sql(d),
+        "band_assign": sp.bands_sql(d),
+        "enrich_zones": sp.enrich_zones_sql(d),
+        "geoid_components": sp.geoid_components_sql(d),
+        "scrub_demographics": sp.scrub_demographics_sql(d),
+        "q1_pricing_summary": rel.Q1_SQL,
+        "q3_top_orders": rel.Q3_SQL,
+        "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "sessionize": rel.SESSIONIZE_SQL,
+        "top_events_by_value": rel.TOP_EVENTS_SQL,
+        "nation_rollup": rel.NATION_ROLLUP_SQL,
+        "lang_counts": rel.LANG_COUNTS_SQL,
+        "dedup_exact": tp.DEDUP_EXACT_SQL,
+        "text_quality": tp.text_quality_sql(),
+        "ann_topk": tp.ANN_TOPK_SQL,
+    }

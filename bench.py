@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``$RAY_GRAFT_CPUS`` cpus (default 32) and
+prints ONE JSON line:
+
+    {"metric": "headline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "pip_joins_per_sec": ...}
+
+``--scaling``: runs the headline job in two fresh processes at
+num_cpus=8 and num_cpus=32 (the sandbox proxy for N vs 4N cluster
+nodes, per BASELINE.md) and prints throughput at both plus the scaling
+efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "8"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from socialmapper_ray.pipelines import flagship as fl
+    from socialmapper_ray.pipelines import relational as rel
+    from socialmapper_ray.pipelines import spatial as sp
+    from socialmapper_ray.pipelines import textops as tp
+    from socialmapper_ray.sources import synth
+    from socialmapper_ray.stages import extract, pip_join, tile
+
+    # materialise synthetic world + warm the page cache (untimed)
+    d = synth.ensure_synth(SF_DIR, REPLICATE)
+    synth.ensure_synth(SF_DIR, 1)
+    n_pages = rd.read_parquet(os.path.join(d, "pages.parquet")).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return out
+
+    # headline: full flagship pipeline (extract -> tile -> PIP -> zonal
+    # -> enrich), consumed by count() (streaming, no driver materialise)
+    conc = max(2, NUM_CPUS // 4)
+    timed("flagship", lambda: fl.flagship(SF_DIR, concurrency=conc,
+                                          replicate=REPLICATE).count())
+
+    # PIP join alone (docs/sec + joins/sec metrics)
+    def pip_only():
+        pages = fl.read_pages(SF_DIR, REPLICATE)
+        pois = tile.tile_points(
+            extract.extract_pois(pages).filter(expr="valid == True"))
+        idx = pip_join.build_zone_index(synth.table_path(SF_DIR, "zones"))
+        return pip_join.pip_join(pois, idx, keep_cols=("url",),
+                                 concurrency=conc).count()
+
+    n_joins = timed("pip_join", pip_only)
+
+    timed("knn_nearest", lambda: sp.knn_q(SF_DIR).count())
+    timed("band_assign", lambda: sp.bands_q(SF_DIR).count())
+    timed("q1_pricing_summary",
+          lambda: rel.q1_pricing_summary(SF_DIR).count())
+    timed("events_hourly", lambda: rel.events_hourly(SF_DIR).count())
+    timed("sessionize", lambda: rel.sessionize(SF_DIR).count())
+    timed("dedup_exact", lambda: tp.dedup_exact_q(SF_DIR).count())
+    timed("dedup_minhash_pairs",
+          lambda: len(tp.minhash_pairs_q(SF_DIR)))
+    timed("ann_topk", lambda: tp.ann_topk_q(SF_DIR).count())
+
+    headline = timings["flagship"] + timings["pip_join"]
+    result = {
+        "metric": "headline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "n_pip_joins": n_joins,
+        "docs_per_sec": round(n_pages / timings["flagship"], 1),
+        "pip_joins_per_sec": round(n_joins / timings["pip_join"], 1)
+        if n_joins else 0.0,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline job at 8 and 32 cpus in fresh processes."""
+    here = os.path.abspath(__file__)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, here], env=env,
+                             capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    # efficiency of the speedup relative to the cpu ratio
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "cpu_ratio": hi_cpus / lo_cpus,
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,129 @@
+"""Deterministic text functions over web-page batches.
+
+The graft's heavy scalar function is html -> text extraction
+(SURVEY.md §2.8 "JSON/html parsing" row): the reference's analogue is
+Overpass/TIGER response parsing (query/__init__.py:239-316). The
+contract (BASELINE.json input_hint) is **byte-identical extracted text
+per url** regardless of batch boundaries or parallelism, so every
+function here is pure, order-independent, and vectorized (pandas
+C-level string kernels / numpy) — no state, no locale, no time.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_MAIN_RE = r"<main>(.*?)</main>"
+_WS_RE = re.compile(r"\s+")
+
+# Minimal entity unescape, applied in fixed order; the synthetic
+# generator never escapes (docs are markup-free) so this is identity on
+# our corpus, but keeps the function total on arbitrary pages.
+_UNESCAPES = [("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "a", "to", "in", "is", "it", "for", "on"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est", "pour", "dans", "les"),
+    "es": ("el", "la", "y", "de", "un", "una", "es", "para", "en", "los"),
+    "de": ("der", "die", "und", "das", "ein", "eine", "ist", "für", "in", "den"),
+}
+# flat english stop set used by the SQL-checkable quality metric
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def decode_html(html: pd.Series) -> pd.Series:
+    """binary html -> str (utf-8, strict: pages are produced as utf-8)."""
+    if html.dtype == object and len(html) and isinstance(html.iloc[0], bytes):
+        return html.str.decode("utf-8")
+    return html.astype(str)
+
+
+def extract_main_text(html: pd.Series) -> pd.Series:
+    """Extract the <main> payload of each page; '' when absent.
+
+    Pure + vectorized (single C regex pass per column), which is what
+    makes the per-url byte-identity invariant hold at any parallelism.
+    """
+    s = decode_html(html)
+    out = s.str.extract(_MAIN_RE, flags=re.S, expand=False).fillna("")
+    for ent, ch in _UNESCAPES:
+        out = out.str.replace(ent, ch, regex=False)
+    return out
+
+
+def token_count(text: pd.Series) -> pd.Series:
+    """Whitespace token count; matches DuckDB
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` for non-empty text."""
+    t = text.str.strip()
+    n = t.str.split(_WS_RE).str.len()
+    return n.where(t.str.len() > 0, 0).astype(np.int64)
+
+
+def stopword_count(text: pd.Series, stops=QUALITY_STOPWORDS) -> pd.Series:
+    toks = text.str.lower().str.split(_WS_RE)
+    stop = frozenset(stops)
+    return toks.map(lambda ws: sum(w in stop for w in ws)
+                    if isinstance(ws, list) else 0).astype(np.int64)
+
+
+def alpha_ratio_scaled(text: pd.Series) -> pd.Series:
+    """floor(1e6 * alpha_chars / chars) as int64 (0 for empty text).
+
+    Integer-scaled ratios keep the DuckDB oracle hash-stable: both
+    engines compute the same single IEEE division before flooring.
+    """
+    total = text.str.len().astype(np.int64)
+    alpha = text.str.count(r"[A-Za-z]").astype(np.int64)
+    ratio = np.where(total > 0, alpha / np.maximum(total, 1), 0.0)
+    return pd.Series(np.floor(ratio * 1e6).astype(np.int64), index=text.index)
+
+
+def lang_scores(text: pd.Series) -> pd.DataFrame:
+    """Per-language stopword hit counts (n-gram-free heuristic lang-id)."""
+    toks = text.str.lower().str.split(_WS_RE)
+    data = {}
+    for lang, stops in STOPWORDS.items():
+        stop = frozenset(stops)
+        data[lang] = toks.map(lambda ws: sum(w in stop for w in ws)
+                              if isinstance(ws, list) else 0)
+    return pd.DataFrame(data, index=text.index)
+
+
+def predict_lang(text: pd.Series) -> pd.Series:
+    """argmax language by stopword hits; 'und' when all-zero. Ties break
+    by fixed language order (dict order of STOPWORDS) — deterministic."""
+    sc = lang_scores(text)
+    best = sc.idxmax(axis=1)
+    return best.where(sc.max(axis=1) > 0, "und")
+
+
+def crc32_tokens(words: list[str]) -> np.ndarray:
+    return np.asarray([zlib.crc32(w.encode("utf-8")) for w in words],
+                      dtype=np.uint64)
+
+
+def doc_fingerprint(text: pd.Series, shingle_k: int = 3) -> pd.Series:
+    """64-bit rolling-shingle fingerprint: min over word-k-shingle hashes.
+
+    Deterministic content fingerprint (cheap near-dup prefilter); the
+    mixing step is splitmix64 over crc32 word hashes.
+    """
+    from ..sources.synth import splitmix64
+
+    def fp(t: str) -> np.uint64:
+        ws = _WS_RE.split(t.strip()) if t.strip() else []
+        if len(ws) < shingle_k:
+            base = crc32_tokens(ws) if ws else np.asarray([0], dtype=np.uint64)
+            return np.uint64(splitmix64(base).min())
+        h = crc32_tokens(ws)
+        # rolling polynomial combine of k consecutive word hashes
+        acc = np.zeros(len(ws) - shingle_k + 1, dtype=np.uint64)
+        for i in range(shingle_k):
+            acc = acc * np.uint64(1099511628211) + h[i: len(h) - shingle_k + 1 + i]
+        return np.uint64(splitmix64(acc).min())
+
+    return text.map(fp).astype(np.uint64)

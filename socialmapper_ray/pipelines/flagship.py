@@ -1,0 +1,48 @@
+"""Flagship pipeline: pages -> POIs -> tiles -> PIP join -> zonal -> enrich.
+
+The graft restatement of the reference's primary entry point
+(SocialMapperClient.run_analysis, api/client.py:78-250 ->
+pipeline/orchestrator.py:145-162 stage list ``extract -> validate ->
+isochrone -> census -> export``): one lazy Ray Data pipeline, streaming
+end-to-end — stage outputs are chained Datasets, not driver-memory
+materialisations (contrast orchestrator.py:283-339 stage_outputs dict).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+from ..sources import synth
+from ..stages import enrich as enrich_mod
+from ..stages import extract as extract_mod
+from ..stages import pip_join as pip_mod
+from ..stages import tile as tile_mod
+from ..stages import zonal as zonal_mod
+
+
+def read_pages(sf_dir: str, replicate: int = 1):
+    """Pages source with html kept (extract drops it first thing)."""
+    path = synth.table_path(sf_dir, "pages", replicate)
+    return rd.read_parquet(path)
+
+
+def flagship(sf_dir: str, concurrency: int = 4, replicate: int = 1):
+    """-> per-zone enriched accessibility table (Dataset).
+
+    Columns: zone_id, n_pois, sum_n_chars, kind?, demographics columns.
+    """
+    synth.ensure_synth(sf_dir, replicate)
+    pages = read_pages(sf_dir, replicate)
+    extracted = extract_mod.extract_pois(pages)
+    valid = extracted.filter(expr="valid == True")
+    tiled = tile_mod.tile_points(valid)
+    index_ref = pip_mod.build_zone_index(synth.table_path(sf_dir, "zones"))
+    joined = pip_mod.pip_join(tiled, index_ref,
+                              keep_cols=("url", "n_chars"),
+                              concurrency=concurrency)
+    zonal = zonal_mod.zonal_counts(joined, value_col="n_chars")
+    demo_ref = enrich_mod.demographics_ref(
+        synth.table_path(sf_dir, "demographics"))
+    return enrich_mod.enrich(zonal, demo_ref)

@@ -1,0 +1,331 @@
+"""Relational pipelines over the driver's TPC-H-ish tables.
+
+These exercise the engine's generic wide operators — partial-aggregate
+before shuffle, broadcast hash join, sort/limit top-k, sessionization —
+with DuckDB-checkable semantics (SURVEY.md §7.1 step 4). Float outputs
+are rounded at a precision far coarser than accumulated FP error so the
+driver's value-hash is stable across summation orders (see
+__ray_entry__ docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 flavour: grouped sums over lineitem with a date filter.
+
+    Partial per-batch combine before the groupby shuffle: the exchange
+    moves one row per (group, batch), not one per lineitem row.
+    """
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    # Money columns are decimal-quantized (2-dec prices, 2-dec discounts),
+    # so float sums land exactly on rounding half-boundaries and numpy
+    # (half-even) vs DuckDB (half-away) disagree. Scale to exact int64
+    # before summing: cents (e2) for price, 1e-4 units (e4) for
+    # discounted price. Integer sums are order-independent and exact.
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        df = t.to_pandas()
+        qty = df["l_quantity"].round().astype(np.int64)
+        bp_e2 = (df["l_extendedprice"] * 100).round().astype(np.int64)
+        dp_e4 = (df["l_extendedprice"] * (1 - df["l_discount"]) * 10000) \
+            .round().astype(np.int64)
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sq": qty, "sbp": bp_e2, "sdp": dp_e4, "n": 1,
+        }).groupby(["l_returnflag", "l_linestatus"], sort=False) \
+          .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("sq", alias_name="sq"), Sum("sbp", alias_name="sbp"),
+                   Sum("sdp", alias_name="sdp"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["sq"].astype(np.int64),
+            "sum_base_price_e2": df["sbp"].astype(np.int64),
+            "sum_disc_price_e4": df["sdp"].astype(np.int64),
+            "avg_qty_e6": np.floor(1e6 * df["sq"] / df["n"]).astype(np.int64),
+            "count_order": df["n"].astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_e2,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(floor(1e6 * SUM(CAST(round(l_quantity, 0) AS BIGINT))
+                  / COUNT(*)) AS BIGINT) AS avg_qty_e6,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
+                  cutoff: str = "1995-03-15", k: int = 10):
+    """Broadcast hash join (customer, orders are the small sides) +
+    grouped revenue + global top-k (sort desc, limit)."""
+    cust = pq.read_table(_p(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"]
+        .to_pylist())
+    orders = pq.read_table(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cut = pd.Timestamp(cutoff)
+    odf = orders.to_pandas()
+    odf = odf[odf["o_custkey"].isin(cust_keys) & (odf["o_orderdate"] < cut)]
+    orders_ref = ray.put(odf[["o_orderkey", "o_orderdate"]])
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    class JoinRevenue:
+        def __init__(self, ref):
+            self.orders = ray.get(ref)
+            self.keys = self.orders.set_index("o_orderkey")["o_orderdate"]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_shipdate"] > cut]
+            df = df[df["l_orderkey"].isin(self.keys.index)]
+            if df.empty:
+                return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                     "rev": pd.Series(dtype=np.int64)})
+            # exact int64 1e-4 units (see q1 note on decimal quantization)
+            rev = (df["l_extendedprice"] * (1 - df["l_discount"]) * 10000) \
+                .round().astype(np.int64)
+            out = pd.DataFrame({"o_orderkey": df["l_orderkey"], "rev": rev})
+            return out.groupby("o_orderkey", sort=False)["rev"] \
+                      .sum().reset_index()
+
+        # partial combine inside the map stage (above) keeps the shuffle small
+
+    partials = li.map_batches(JoinRevenue, fn_constructor_args=(orders_ref,),
+                              batch_format="pandas", concurrency=2,
+                              num_cpus=0.5)
+    agg = partials.groupby("o_orderkey").aggregate(
+        Sum("rev", alias_name="revenue_e4"))
+    top = agg.sort(["revenue_e4", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        dates = odf.set_index("o_orderkey")["o_orderdate"]
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "revenue_e4": df["revenue_e4"].astype(np.int64),
+            "o_orderdate": df["o_orderkey"].map(dates),
+        })
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+Q3_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       ANY_VALUE(o.o_orderdate) AS o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (§2.9 guide: batch groupby on a
+    truncated timestamp), partial-combined per batch."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # event values are 4-decimal quantized -> exact int64 e4 units
+        df = df.assign(hour=df["ts"].dt.floor("h"),
+                       v=(df["value"] * 10000).round().astype(np.int64))
+        return df.groupby(["event_type", "hour"], sort=False).agg(
+            n=("value", "size"), v=("v", "sum")).reset_index()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("v", alias_name="v"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["hour"],
+            "n_events": df["n_events"].astype(np.int64),
+            "sum_value_e4": df["v"].astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap-based), as groupby(user).map_groups
+    over ts-sorted groups (§2.9 pattern; ordering assumption: within a
+    user, ties in ts do not affect session boundaries)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sess = new.cumsum().astype(np.int64)
+        out = g.assign(session_id=sess).groupby("session_id").agg(
+            n_events=("ts", "size"), session_start=("ts", "min"),
+            session_end=("ts", "max")).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id, session_id
+"""
+
+
+def top_events_by_value(sf_dir: str, k: int = 20):
+    """Global sort desc + limit (O3 pattern), deterministic tiebreak."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda df: pd.DataFrame({"event_id": df["event_id"].astype(np.int64),
+                                 "value": df["value"].round(6)}),
+        batch_format="pandas")
+
+
+TOP_EVENTS_SQL = """
+SELECT event_id, ROUND(value, 6) AS value
+FROM events ORDER BY value DESC, event_id LIMIT 20
+"""
+
+
+def nation_rollup(sf_dir: str):
+    """Two-hop broadcast join customer -> nation -> region + grouped agg
+    (reference J6 neighbor-lookup flavour: tiny static dimension join)."""
+    nation = pq.read_table(_p(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_p(sf_dir, "region")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
+
+    ds = rd.read_parquet(_p(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_acctbal"])
+
+    class JoinDim:
+        def __init__(self, ref):
+            self.dim = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = df.merge(self.dim, left_on="c_nationkey",
+                         right_on="n_nationkey")
+            m = m.assign(bal=(m["c_acctbal"] * 100).round().astype(np.int64))
+            return m.groupby(["r_name", "n_name"], sort=False).agg(
+                n=("bal", "size"), bal=("bal", "sum")).reset_index()
+
+    agg = ds.map_batches(JoinDim, fn_constructor_args=(dim_ref,),
+                         batch_format="pandas", concurrency=2,
+                         num_cpus=0.5) \
+        .groupby(["r_name", "n_name"]) \
+        .aggregate(Sum("n", alias_name="n_customers"),
+                   Sum("bal", alias_name="bal"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "r_name": df["r_name"], "n_name": df["n_name"],
+            "n_customers": df["n_customers"].astype(np.int64),
+            "sum_acctbal_e2": df["bal"].astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+NATION_ROLLUP_SQL = """
+SELECT r.r_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_e2
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def lang_counts(sf_dir: str):
+    """Distinct + count per lang (A7 sorted-distinct flavour)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang"])
+    agg = ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return agg.map_batches(
+        lambda df: df.assign(n_docs=df["n_docs"].astype(np.int64)),
+        batch_format="pandas")
+
+
+LANG_COUNTS_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+"""

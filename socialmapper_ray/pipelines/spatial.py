@@ -1,0 +1,270 @@
+"""Spatial query entry points + DuckDB oracle SQL.
+
+Each ``*_q(sf_dir)`` runs a Ray Data pipeline over the synthetic pages
+world (sources/synth.py); each ``*_sql(d)`` builds the equivalent
+DuckDB SQL over the *independent* ground-truth tables written by the
+generator (pois_truth / zones / zone_edges / band_centers /
+demographics under synth dir ``d``). Generation and the pipeline share
+no parsing/joining code, so these SQL strings are genuine oracles for
+the extract -> geoparse -> tile -> join chain (driver contract).
+
+Convex-PIP oracle: zone polygons are CCW convex, so containment ==
+``min over edges of cross((edge), (point - edge_start)) >= 0`` — plain
+SQL over the exploded edge table. The engine side uses the general
+crossing-number test; they agree except for points *on* an edge, which
+have probability 0 in the synthetic world (documented boundary rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions import scalars
+from ..sources import synth
+from ..stages import bands as bands_mod
+from ..stages import enrich as enrich_mod
+from ..stages import extract as extract_mod
+from ..stages import knn as knn_mod
+from ..stages import pip_join as pip_mod
+from ..stages import tile as tile_mod
+from ..stages import zonal as zonal_mod
+
+
+def _extracted_valid(sf_dir: str):
+    synth.ensure_synth(sf_dir)
+    pages = rd.read_parquet(synth.table_path(sf_dir, "pages"))
+    ext = extract_mod.extract_pois(pages)
+    return ext.filter(expr="valid == True")
+
+
+# ---------------------------------------------------------------------------
+# extract
+# ---------------------------------------------------------------------------
+
+def extract_pois_q(sf_dir: str):
+    ds = _extracted_valid(sf_dir)
+    return ds.select_columns(["url", "lat", "lon", "name", "geo_kind"])
+
+
+def extract_pois_sql(d: str) -> str:
+    return f"""
+    SELECT url, lat, lon, name, geo_kind
+    FROM read_parquet('{d}/pois_truth.parquet') WHERE has_geo
+    """
+
+
+# ---------------------------------------------------------------------------
+# PIP join
+# ---------------------------------------------------------------------------
+
+def pip_join_q(sf_dir: str):
+    ds = tile_mod.tile_points(_extracted_valid(sf_dir))
+    index_ref = pip_mod.build_zone_index(synth.table_path(sf_dir, "zones"))
+    return pip_mod.pip_join(ds, index_ref, keep_cols=("url",))
+
+
+def _pip_cte(d: str) -> str:
+    return f"""
+    cand AS (
+      SELECT p.url, p.doc_id, p.lat, p.lon, z.zone_id
+      FROM read_parquet('{d}/pois_truth.parquet') p
+      JOIN read_parquet('{d}/zones.parquet') z
+        ON p.lon >= z.lon_min AND p.lon <= z.lon_max
+       AND p.lat >= z.lat_min AND p.lat <= z.lat_max
+      WHERE p.has_geo
+    ),
+    pip AS (
+      SELECT c.url, c.doc_id, c.zone_id
+      FROM cand c
+      JOIN read_parquet('{d}/zone_edges.parquet') e ON c.zone_id = e.zone_id
+      GROUP BY c.url, c.doc_id, c.zone_id
+      HAVING min((e.x2 - e.x1) * (c.lat - e.y1)
+               - (e.y2 - e.y1) * (c.lon - e.x1)) >= 0
+    )"""
+
+
+def pip_join_sql(d: str) -> str:
+    return f"WITH {_pip_cte(d)} SELECT url, zone_id FROM pip"
+
+
+# ---------------------------------------------------------------------------
+# Zonal aggregation
+# ---------------------------------------------------------------------------
+
+def zonal_agg_q(sf_dir: str):
+    ds = tile_mod.tile_points(_extracted_valid(sf_dir))
+    index_ref = pip_mod.build_zone_index(synth.table_path(sf_dir, "zones"))
+    joined = pip_mod.pip_join(ds, index_ref, keep_cols=("url", "n_chars"))
+    agg = zonal_mod.zonal_counts(joined, value_col="n_chars")
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "zone_id": df["zone_id"],
+            "n_pois": df["n_pois"].astype(np.int64),
+            "sum_n_chars": df["sum_n_chars"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def zonal_agg_sql(d: str) -> str:
+    return f"""
+    WITH {_pip_cte(d)}
+    SELECT pip.zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pois,
+           CAST(SUM(length(doc.text)) AS BIGINT) AS sum_n_chars
+    FROM pip JOIN documents doc ON pip.doc_id = doc.doc_id
+    GROUP BY pip.zone_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# kNN nearest facility
+# ---------------------------------------------------------------------------
+
+_HAVERSINE_SQL = """2 * 6371.0088 * asin(sqrt(
+    least(1.0, sin(radians(c.lat - p.lat) / 2) ^ 2
+      + cos(radians(p.lat)) * cos(radians(c.lat))
+      * sin(radians(c.lon - p.lon) / 2) ^ 2)))"""
+
+
+def knn_q(sf_dir: str):
+    ds = _extracted_valid(sf_dir)
+    centers_ref = knn_mod.centers_ref_from_parquet(
+        synth.table_path(sf_dir, "band_centers"))
+    out = knn_mod.knn_nearest(ds, centers_ref, keep_cols=("url",))
+    return out.map_batches(
+        lambda df: df.assign(distance_km=df["distance_km"].round(6)),
+        batch_format="pandas")
+
+
+def knn_sql(d: str) -> str:
+    return f"""
+    WITH dist AS (
+      SELECT p.url, c.center_id, {_HAVERSINE_SQL} AS dkm
+      FROM read_parquet('{d}/pois_truth.parquet') p
+      CROSS JOIN read_parquet('{d}/band_centers.parquet') c
+      WHERE p.has_geo)
+    SELECT url, arg_min(center_id, dkm) AS nearest_center_id,
+           ROUND(min(dkm), 6) AS distance_km
+    FROM dist GROUP BY url
+    """
+
+
+# ---------------------------------------------------------------------------
+# Travel-time band assignment
+# ---------------------------------------------------------------------------
+
+def bands_q(sf_dir: str):
+    ds = _extracted_valid(sf_dir)
+    centers_ref = knn_mod.centers_ref_from_parquet(
+        synth.table_path(sf_dir, "band_centers"))
+    out = bands_mod.assign_bands(ds, centers_ref, keep_cols=("url",))
+    return out.select_columns(["url", "center_id", "band"])
+
+
+def bands_sql(d: str) -> str:
+    speeds = " ".join(
+        f"WHEN '{m}' THEN {s}" for m, s in
+        bands_mod.MODE_SPEED_KM_MIN.items())
+    return f"""
+    WITH dist AS (
+      SELECT p.url, c.center_id, c.travel_mode, {_HAVERSINE_SQL} AS dkm
+      FROM read_parquet('{d}/pois_truth.parquet') p
+      CROSS JOIN read_parquet('{d}/band_centers.parquet') c
+      WHERE p.has_geo),
+    nearest AS (
+      SELECT url, arg_min(center_id, dkm) AS center_id,
+             min(dkm) / (CASE arg_min(travel_mode, dkm) {speeds} END)
+               AS minutes
+      FROM dist GROUP BY url)
+    SELECT url, center_id,
+           CAST(CASE WHEN minutes <= 5 THEN 5 WHEN minutes <= 10 THEN 10
+                     WHEN minutes <= 15 THEN 15 WHEN minutes <= 30 THEN 30
+                     ELSE -1 END AS BIGINT) AS band
+    FROM nearest
+    """
+
+
+# ---------------------------------------------------------------------------
+# Demographic enrichment of zones
+# ---------------------------------------------------------------------------
+
+def enrich_zones_q(sf_dir: str):
+    synth.ensure_synth(sf_dir)
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["zone_id", "kind"])
+    demo_ref = enrich_mod.demographics_ref(
+        synth.table_path(sf_dir, "demographics"))
+    out = enrich_mod.enrich(zones, demo_ref)
+    return out.select_columns(
+        ["zone_id", "kind", "total_population", "median_household_income",
+         "households_no_vehicle", "median_age"])
+
+
+def enrich_zones_sql(d: str) -> str:
+    sents = ", ".join(str(s) for s in scalars.SENTINEL_VALUES)
+    return f"""
+    WITH clean AS (
+      SELECT geoid, variable_code,
+             CASE WHEN value IN ({sents}) OR value < -100000
+                  THEN NULL ELSE value END AS v
+      FROM read_parquet('{d}/demographics.parquet'))
+    SELECT z.zone_id, z.kind,
+      SUM(CASE WHEN variable_code = 'B01003_001E' THEN v END)
+        AS total_population,
+      SUM(CASE WHEN variable_code = 'B19013_001E' THEN v END)
+        AS median_household_income,
+      SUM(CASE WHEN variable_code IN ('B25044_003E', 'B25044_010E') THEN v END)
+        AS households_no_vehicle,
+      SUM(CASE WHEN variable_code = 'B01002_001E' THEN v END) AS median_age
+    FROM read_parquet('{d}/zones.parquet') z
+    LEFT JOIN clean ON z.zone_id = clean.geoid
+    GROUP BY z.zone_id, z.kind
+    """
+
+
+# ---------------------------------------------------------------------------
+# Scalar operators over the synthetic tables
+# ---------------------------------------------------------------------------
+
+def geoid_components_q(sf_dir: str):
+    synth.ensure_synth(sf_dir)
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["zone_id"])
+    out = zones.map_batches(scalars.geoid_components, batch_format="pyarrow")
+    return out.select_columns(["zone_id", "state_fips", "county_fips",
+                               "tract", "block_group"])
+
+
+def geoid_components_sql(d: str) -> str:
+    return f"""
+    SELECT zone_id,
+           substr(zone_id, 1, 2)  AS state_fips,
+           substr(zone_id, 3, 3)  AS county_fips,
+           substr(zone_id, 6, 6)  AS tract,
+           substr(zone_id, 12, 1) AS block_group
+    FROM read_parquet('{d}/zones.parquet')
+    """
+
+
+def scrub_demographics_q(sf_dir: str):
+    synth.ensure_synth(sf_dir)
+    demo = rd.read_parquet(synth.table_path(sf_dir, "demographics"),
+                           columns=["geoid", "variable_code", "value"])
+
+    def fn(t):
+        return t.append_column("value_clean",
+                               scalars.scrub_sentinels(t["value"]))
+
+    return demo.map_batches(fn, batch_format="pyarrow") \
+        .select_columns(["geoid", "variable_code", "value_clean"])
+
+
+def scrub_demographics_sql(d: str) -> str:
+    sents = ", ".join(str(s) for s in scalars.SENTINEL_VALUES)
+    return f"""
+    SELECT geoid, variable_code,
+           CASE WHEN value IN ({sents}) OR value < -100000
+                THEN NULL ELSE value END AS value_clean
+    FROM read_parquet('{d}/demographics.parquet')
+    """

@@ -1,0 +1,170 @@
+"""Training-data text/embedding operators as query entry points.
+
+Dedup family + text analysis over ``documents``; ANN over
+``embeddings`` (driver testdata tables). SQL oracles where ANSI-SQL can
+express the op; signature-based ops (MinHash/SimHash/fingerprint/
+lang-id) are rows-only checks plus pytest dual oracles
+(tests/test_dedup.py, tests/test_text.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions import text as tx
+from ..stages import ann as ann_mod
+from ..stages import dedup as dedup_mod
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_q(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    agg = dedup_mod.exact_dedup(ds)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "text_hash": df["text_hash"],
+            "keep_id": df["keep_id"].astype(np.int64),
+            "n_dupes": df["n_dupes"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
+    """LSH candidates -> exact-Jaccard verified near-dup pairs.
+
+    Rows-only check (signatures aren't SQL-expressible); determinism and
+    precision are pytest-verified against brute-force Jaccard.
+    """
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    cands = dedup_mod.candidate_pairs(ds).to_pandas()
+    docs = pq.read_table(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    out = dedup_mod.verify_pairs(cands, texts, threshold=threshold)
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def simhash_pairs_q(sf_dir: str, max_hamming: int = 10):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = dedup_mod.simhash_pairs(ds, max_hamming=max_hamming)
+    return pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "a": df["a"].astype(np.int64), "b": df["b"].astype(np.int64),
+            "hamming": df["hamming"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def fingerprint_q(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            # int64 view keeps the driver/pandas conversion lossless
+            "fingerprint": tx.doc_fingerprint(df["text"])
+                             .astype(np.uint64).astype(np.int64)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality_q(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "token_count": tx.token_count(df["text"]),
+            "stop_count": tx.stopword_count(df["text"]),
+            "alpha_ratio_ppm": tx.alpha_ratio_scaled(df["text"]),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def text_quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in tx.QUALITY_STOPWORDS)
+    return f"""
+    SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+        AS token_count,
+      CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           w -> w IN ({stops}))) AS BIGINT) AS stop_count,
+      CAST(floor(1e6 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / length(text)) AS BIGINT) AS alpha_ratio_ppm
+    FROM documents
+    """
+
+
+def lang_id_q(sf_dir: str):
+    """Heuristic language ID (rows-only; pytest-verified determinism)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "lang_pred": tx.predict_lang(df["text"])})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+def ann_topk_q(sf_dir: str, k: int = 10, n_queries: int = 8):
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    qref = ann_mod.queries_ref_from_parquet(_p(sf_dir, "embeddings"),
+                                            n_queries=n_queries)
+    out = ann_mod.ann_topk(ds, qref, k=k)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "query_id": df["query_id"].astype(np.int64),
+            "vec_id": df["vec_id"].astype(np.int64),
+            "rank": df["rank"].astype(np.int64),
+            "score_r": df["score"].round(4)}),
+        batch_format="pandas")
+
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+       ROUND(score, 4) AS score_r
+FROM s
+QUALIFY rank <= 10
+"""

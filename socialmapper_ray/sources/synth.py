@@ -1,0 +1,348 @@
+"""Deterministic synthetic world: Common-Crawl-style pages + spatial tables.
+
+BASELINE.json's ``input_hint`` fixes the engine's input shape:
+``pages(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)``. No external data exists in this sandbox, so this module
+synthesises that table — deterministically, seeded only by the driver's
+``documents.parquet`` — together with the spatial small-side tables the
+reference pipeline needs (polygons ≙ census block groups / isochrones,
+demographics ≙ ACS long table: reference
+census/services/block_group_service.py:84-104 and
+census/domain/entities.py:52-66).
+
+Crucially the generator also writes *independent ground-truth* tables
+(``pois_truth``, ``zone_edges``): the generator computes lat/lon and
+embeds them into the HTML; the pipeline later re-extracts them by
+parsing. Generation and extraction share no code, so DuckDB queries over
+the truth tables are a genuine oracle for the extract → geoparse → PIP
+chain (driver contract, /root/repo/__ray_entry__.py).
+
+Determinism contract: every value is a pure function of ``doc_id`` (or
+zone ordinal) via splitmix64 — no RNG state, no time, no row order
+dependence. Coordinates are quantised to integer microdegrees and
+round-tripped through their decimal string so the double embedded in
+HTML, the double in the truth table, and the double parsed by the
+pipeline are bit-identical (the "byte-identical per url" invariant of
+BASELINE.json scaled to floats).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import geom
+
+SYNTH_ROOT = "/tmp/smray_synth"
+
+# World bbox (CONUS-ish, mid-latitudes)
+LAT_MIN, LAT_MAX = 25.0, 49.0
+LON_MIN, LON_MAX = -124.0, -67.0
+
+CENSUS_CODES = ["B01003_001E", "B19013_001E", "B25044_003E", "B25044_010E",
+                "B01002_001E"]
+SENTINELS = (-999999999.0, -888888888.0, -666666666.0)
+
+_U = np.uint64
+
+
+def splitmix64(x) -> np.ndarray:
+    """Deterministic integer hash (public-domain splitmix64 finalizer)."""
+    z = np.atleast_1d(np.asarray(x, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        z = (z + _U(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U(27))) * _U(0x94D049BB133111EB)
+        z = z ^ (z >> _U(31))
+    return z if np.ndim(x) else z[0]
+
+
+def _hash_unit(x, salt: int) -> np.ndarray:
+    """Uniform [0, 1) doubles from integer keys, salted."""
+    h = splitmix64(np.asarray(x, dtype=np.uint64) ^ _U(salt * 0x9E3779B9 + 1))
+    return (h >> _U(11)).astype(np.float64) / float(1 << 53)
+
+
+def _microdeg(u: np.ndarray, lo: float, hi: float):
+    """Quantise uniforms to integer microdegrees in [lo, hi]; return
+    (int64 microdegrees, decimal strings, exact parsed doubles)."""
+    lo_u, hi_u = int(round(lo * 1e6)), int(round(hi * 1e6))
+    micro = (lo_u + (u * (hi_u - lo_u)).astype(np.int64))
+    strs = [f"{m // 1000000}.{m % 1000000:06d}" if m >= 0
+            else f"-{(-m) // 1000000}.{(-m) % 1000000:06d}" for m in micro.tolist()]
+    vals = np.asarray([float(s) for s in strs])
+    return micro, strs, vals
+
+
+# ---------------------------------------------------------------------------
+# Pages + POI truth
+# ---------------------------------------------------------------------------
+
+_BOILER_NAV = ('<nav><a href="/">home</a> <a href="/about">about</a> '
+               '<a href="/contact">contact</a></nav>')
+_BOILER_FOOT = "<footer>&copy; example.org — crawled content</footer>"
+
+
+def build_pages(docs: "pa.Table") -> tuple[pa.Table, pa.Table]:
+    """documents rows -> (pages, pois_truth) tables.
+
+    A page embeds its doc text verbatim between <main>…</main> markers
+    (escape-free by construction: driver docs contain no '<'/'&'; an
+    assert guards this) so the extraction invariant is byte-identity.
+    Geo placement: ~82%% of pages carry coordinates — even doc_ids in a
+    geo.position <meta>, odd doc_ids inline in the body ("GPS: lat, lon");
+    doc_id %% 11 == 3 pages carry none (the invalid/missing side channel
+    of reference pipeline/validation.py:11-51).
+    """
+    doc_id = docs["doc_id"].to_numpy()
+    text = docs["text"].to_pylist()
+    lang = docs["lang"].to_pylist()
+    source = docs["source"].to_pylist()
+
+    _, lat_s, lat_v = _microdeg(_hash_unit(doc_id, 101), LAT_MIN, LAT_MAX)
+    _, lon_s, lon_v = _microdeg(_hash_unit(doc_id, 202), LON_MIN, LON_MAX)
+    has_geo = (doc_id % 11) != 3
+    inline = (doc_id % 2) == 1
+
+    ts = (np.datetime64("2024-01-01T00:00:00", "us")
+          + (splitmix64(doc_id) % _U(365 * 24 * 3600)).astype("timedelta64[s]"))
+
+    urls, htmls = [], []
+    for k in range(len(doc_id)):
+        d = int(doc_id[k])
+        t = text[k]
+        assert "<" not in t and "&" not in t, "doc text must be markup-free"
+        url = f"https://{source[k]}.example.org/doc/{d:010d}"
+        name = f"poi-{d:010d}"
+        geo_head = geo_body = ""
+        if has_geo[k]:
+            if inline[k]:
+                geo_body = f"<p>GPS: {lat_s[k]}, {lon_s[k]}</p>"
+            else:
+                geo_head = (f'<meta name="geo.position" '
+                            f'content="{lat_s[k]};{lon_s[k]}">\n'
+                            f'<meta name="geo.placename" content="{name}">')
+        html = (f"<!DOCTYPE html><html><head><title>{name}</title>\n"
+                f"{geo_head}</head><body>{_BOILER_NAV}"
+                f"<main>{t}</main>{geo_body}{_BOILER_FOOT}</body></html>")
+        urls.append(url)
+        htmls.append(html.encode("utf-8"))
+
+    pages = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": docs["text"],
+        "lang": pa.array(lang, pa.string()),
+    })
+    truth = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "doc_id": pa.array(doc_id),
+        "lat": pa.array(np.where(has_geo, lat_v, np.nan)),
+        "lon": pa.array(np.where(has_geo, lon_v, np.nan)),
+        "name": pa.array([f"poi-{int(d):010d}" for d in doc_id]),
+        "has_geo": pa.array(has_geo),
+        "geo_kind": pa.array(np.where(~has_geo, "none",
+                                      np.where(inline, "inline", "meta"))),
+    })
+    return pages, truth
+
+
+# ---------------------------------------------------------------------------
+# Zones (polygons), edges, demographics, band centers
+# ---------------------------------------------------------------------------
+
+def _geoid(z: int) -> str:
+    state = z % 50 + 1
+    county = (z * 7) % 200 + 1
+    tract = (z * 9973) % 1000000
+    bg = z % 9 + 1
+    return f"{state:02d}{county:03d}{tract:06d}{bg:d}"
+
+
+def build_zones(n_zones: int):
+    """n_zones convex polygons + edge table + centroid columns."""
+    z = np.arange(n_zones, dtype=np.uint64)
+    clat = LAT_MIN + 2.0 + _hash_unit(z, 11) * (LAT_MAX - LAT_MIN - 4.0)
+    clon = LON_MIN + 2.0 + _hash_unit(z, 22) * (LON_MAX - LON_MIN - 4.0)
+    radius = 0.25 + _hash_unit(z, 33) * 1.25
+    nv = 4 + (splitmix64(z ^ _U(44)) % _U(9)).astype(np.int64)  # 4..12
+    phase = _hash_unit(z, 55) * 2.0 * np.pi
+    flat = 0.6 + _hash_unit(z, 66) * 0.8
+    kinds = np.asarray(["blockgroup", "zcta", "isochrone"])[
+        (z % _U(3)).astype(np.int64)]
+
+    zone_rows = {k: [] for k in
+                 ("zone_id", "kind", "wkb", "lon_min", "lat_min", "lon_max",
+                  "lat_max", "centroid_lon", "centroid_lat", "n_vertices")}
+    e_zone, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], []
+    for k in range(n_zones):
+        poly = geom.regular_polygon(float(clat[k]), float(clon[k]),
+                                    float(radius[k]), int(nv[k]),
+                                    phase=float(phase[k]),
+                                    flatten=float(flat[k]))
+        gid = _geoid(k)
+        cx, cy = geom.polygon_centroid(poly)
+        zone_rows["zone_id"].append(gid)
+        zone_rows["kind"].append(str(kinds[k]))
+        zone_rows["wkb"].append(geom.wkb_polygon(poly))
+        zone_rows["lon_min"].append(poly[:, 0].min())
+        zone_rows["lat_min"].append(poly[:, 1].min())
+        zone_rows["lon_max"].append(poly[:, 0].max())
+        zone_rows["lat_max"].append(poly[:, 1].max())
+        zone_rows["centroid_lon"].append(cx)
+        zone_rows["centroid_lat"].append(cy)
+        zone_rows["n_vertices"].append(int(nv[k]))
+        nxt = np.roll(np.arange(len(poly)), -1)
+        for i, j in zip(range(len(poly)), nxt):
+            e_zone.append(gid)
+            e_x1.append(poly[i, 0]); e_y1.append(poly[i, 1])
+            e_x2.append(poly[j, 0]); e_y2.append(poly[j, 1])
+
+    zones = pa.table({
+        "zone_id": pa.array(zone_rows["zone_id"]),
+        "kind": pa.array(zone_rows["kind"]),
+        "wkb": pa.array(zone_rows["wkb"], pa.binary()),
+        "lon_min": pa.array(zone_rows["lon_min"], pa.float64()),
+        "lat_min": pa.array(zone_rows["lat_min"], pa.float64()),
+        "lon_max": pa.array(zone_rows["lon_max"], pa.float64()),
+        "lat_max": pa.array(zone_rows["lat_max"], pa.float64()),
+        "centroid_lon": pa.array(zone_rows["centroid_lon"], pa.float64()),
+        "centroid_lat": pa.array(zone_rows["centroid_lat"], pa.float64()),
+        "n_vertices": pa.array(zone_rows["n_vertices"], pa.int64()),
+    })
+    edges = pa.table({
+        "zone_id": pa.array(e_zone),
+        "x1": pa.array(e_x1, pa.float64()), "y1": pa.array(e_y1, pa.float64()),
+        "x2": pa.array(e_x2, pa.float64()), "y2": pa.array(e_y2, pa.float64()),
+    })
+    return zones, edges
+
+
+def build_demographics(zone_ids: list[str]) -> pa.Table:
+    """Long-form census table (geoid, variable_code, value, year, dataset)
+    mirroring CensusDataPoint (reference census/domain/entities.py:52-66),
+    with sentinel values and nulls injected deterministically (reference
+    M12 scrubbing, census/services/census_service.py:262-278)."""
+    geoids, codes, values = [], [], []
+    for zi, gid in enumerate(zone_ids):
+        for ci, code in enumerate(CENSUS_CODES):
+            key = np.uint64(zi * 31 + ci * 7 + 5)
+            h = int(splitmix64(key))
+            mod = h % 23
+            if mod == 0:
+                val = SENTINELS[h % len(SENTINELS)]
+            elif mod == 1:
+                val = None
+            else:
+                val = float(h % 100000)  # integer-valued double: hash-safe
+            geoids.append(gid)
+            codes.append(code)
+            values.append(val)
+    n = len(geoids)
+    return pa.table({
+        "geoid": pa.array(geoids),
+        "variable_code": pa.array(codes),
+        "value": pa.array(values, pa.float64()),
+        "year": pa.array([2023] * n, pa.int32()),
+        "dataset": pa.array(["acs5"] * n, pa.string()),
+    })
+
+
+def build_band_centers(n_centers: int) -> pa.Table:
+    """Facility points for kNN / travel-time band assignment (the graft
+    analogue of the reference's POI set fed to the isochrone stage)."""
+    c = np.arange(n_centers, dtype=np.uint64)
+    _, _, lat = _microdeg(_hash_unit(c, 71), LAT_MIN + 1, LAT_MAX - 1)
+    _, _, lon = _microdeg(_hash_unit(c, 72), LON_MIN + 1, LON_MAX - 1)
+    return pa.table({
+        "center_id": pa.array([f"C{int(i):05d}" for i in c]),
+        "lat": pa.array(lat, pa.float64()),
+        "lon": pa.array(lon, pa.float64()),
+        "travel_mode": pa.array(
+            np.asarray(["drive", "walk", "bike"])[(c % _U(3)).astype(int)]),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Materialisation (idempotent, per sf dir)
+# ---------------------------------------------------------------------------
+
+TABLES = ("pages", "pois_truth", "zones", "zone_edges", "demographics",
+          "band_centers")
+
+
+def synth_dir(sf_dir: str, replicate: int = 1) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if replicate > 1:
+        base = f"{base}_x{replicate}"
+    return os.path.join(SYNTH_ROOT, base)
+
+
+_REPLICA_STRIDE = 100_000_000
+
+
+def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
+    """Materialise the synthetic world for ``sf_dir`` under /tmp (once).
+
+    ``replicate`` > 1 tiles the corpus: replica r re-derives every page
+    from doc_id + r * 1e8 (new urls, new coordinates, same text — which
+    also plants exact duplicates for the dedup benchmarks). Zones /
+    demographics / centers stay fixed. Atomic: writes into a tmp dir
+    then renames, so concurrent callers and resumed runs see either
+    nothing or a complete world.
+    """
+    out = synth_dir(sf_dir, replicate)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.num_rows
+    n_zones = max(40, n_docs // 6)
+    n_centers = max(12, n_zones // 3)
+
+    if replicate == 1:
+        pages, truth = build_pages(docs)
+    else:
+        p_parts, t_parts = [], []
+        for r in range(replicate):
+            shifted = docs.set_column(
+                docs.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(docs["doc_id"].to_numpy() + r * _REPLICA_STRIDE))
+            p, t = build_pages(shifted)
+            p_parts.append(p)
+            t_parts.append(t)
+        pages = pa.concat_tables(p_parts)
+        truth = pa.concat_tables(t_parts)
+    zones, edges = build_zones(n_zones)
+    demo = build_demographics(zones["zone_id"].to_pylist())
+    centers = build_band_centers(n_centers)
+
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for name, tbl in zip(TABLES, (pages, truth, zones, edges, demo, centers)):
+        pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"),
+                       compression="snappy")
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    import shutil
+
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if os.path.exists(marker):
+            # a concurrent generator won the race; ours is redundant
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale/partial dir (e.g. killed run): replace it
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
+    return out
+
+
+def table_path(sf_dir: str, name: str, replicate: int = 1) -> str:
+    assert name in TABLES, name
+    return os.path.join(ensure_synth(sf_dir, replicate), f"{name}.parquet")

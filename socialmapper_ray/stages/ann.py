@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (training-data ops).
+
+- ``ann_topk``: exact brute-force cosine top-k — the baseline. The
+  query matrix is broadcast once (``ray.put``); each batch computes one
+  numpy matmul (batch x dim @ dim x n_queries) and emits its *partial*
+  top-k per query; a tiny ``groupby(query_id)`` merges partials into
+  the global top-k. The big side streams; the shuffle moves only
+  O(n_batches * n_queries * k) rows.
+- ``SignLSHIndex`` + ``ann_topk_lsh``: random-hyperplane bucketed
+  variant (IVF-flavoured scale path): vectors hash to sign-pattern
+  buckets; queries probe their own bucket plus hamming-1 neighbours.
+  Approximate — recall measured against the exact path in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) \
+        else batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+class PartialTopK:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        q = ray.get(queries_ref)
+        self.q_ids = np.asarray(q["query_id"])
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(_emb_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = x @ self.qm.T                       # (n, n_q)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]   # (k, n_q)
+        n_q = scores.shape[1]
+        out_q = np.repeat(self.q_ids, k)
+        out_v = ids[top.T.ravel()]
+        out_s = scores[top.T.ravel(), np.repeat(np.arange(n_q), k)]
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(out_v),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def final_topk(partials_ds, k: int):
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials_ds.groupby("query_id").map_groups(
+        per_query, batch_format="pandas")
+
+
+def ann_topk(emb_ds, queries_ref, k: int = 10, concurrency=4,
+             batch_size: int = 4096):
+    partials = emb_ds.map_batches(
+        PartialTopK,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5)
+    return final_topk(partials, k)
+
+
+def queries_ref_from_parquet(path: str, n_queries: int = 8):
+    """First n_queries embedding rows become the broadcast query matrix."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")[:n_queries]  # smallest vec_ids
+    m = t["embedding"].combine_chunks().flatten().to_numpy() \
+        .astype(np.float64).reshape(t.num_rows, -1)
+    return ray.put({"query_id": ids[order], "matrix": m[order]})
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(777)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes.T) > 0
+    return (signs * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+
+
+class LSHPartialTopK:
+    """Like PartialTopK but each vector only scores against queries whose
+    bucket is within hamming distance 1 of its own (prunes ~ (d+1)/2^d of
+    the work; approximate)."""
+
+    def __init__(self, queries_ref, k: int, dim: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        q = ray.get(queries_ref)
+        self.q_ids = np.asarray(q["query_id"])
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.planes = _planes(dim)
+        qb = bucket_of(self.qm, self.planes)
+        probe = {int(b) for b in qb}
+        for b in qb:
+            for i in range(N_PLANES):
+                probe.add(int(b) ^ (1 << i))
+        self.q_buckets = qb
+        self.probe = probe
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(_emb_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        xb = bucket_of(x, self.planes)
+        keep = np.asarray([int(b) in self.probe for b in xb])
+        if not keep.any():
+            return pa.table({
+                "query_id": pa.array(np.empty(0, dtype=self.q_ids.dtype)),
+                "vec_id": pa.array(np.empty(0, dtype=ids.dtype)),
+                "score": pa.array(np.empty(0), pa.float64()),
+            })
+        x, ids = x[keep], ids[keep]
+        scores = x @ self.qm.T
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]
+        n_q = scores.shape[1]
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.q_ids, k)),
+            "vec_id": pa.array(ids[top.T.ravel()]),
+            "score": pa.array(scores[top.T.ravel(),
+                                     np.repeat(np.arange(n_q), k)],
+                              pa.float64()),
+        })
+
+
+def ann_topk_lsh(emb_ds, queries_ref, dim: int, k: int = 10, concurrency=4,
+                 batch_size: int = 4096):
+    partials = emb_ds.map_batches(
+        LSHPartialTopK,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, dim=dim),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5)
+    return final_topk(partials, k)

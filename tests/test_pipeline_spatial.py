@@ -1,0 +1,101 @@
+"""Spatial pipeline tests (need Ray): PIP dual oracle, kNN path
+equivalence, extract determinism across parallelism, flagship smoke."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def synth_dir(ray_session):
+    from socialmapper_ray.sources import synth
+
+    return synth.ensure_synth(SF)
+
+
+def test_pip_join_matches_bruteforce(synth_dir, ray_session):
+    from socialmapper_ray.pipelines import spatial
+    from socialmapper_ray.stages import pip_join
+    from socialmapper_ray.sources import synth
+
+    got = spatial.pip_join_q(SF).to_pandas()
+    truth = pq.read_table(synth.table_path(SF, "pois_truth")).to_pandas()
+    pts = truth[truth["has_geo"]][["url", "lat", "lon"]]
+    want = pip_join.pip_join_bruteforce(pts, synth.table_path(SF, "zones"))
+    key = lambda df: sorted(map(tuple, df[["url", "zone_id"]].to_numpy()))
+    assert key(got) == key(want)
+
+
+def test_extract_parallelism_invariance(synth_dir, ray_session):
+    from socialmapper_ray.stages import extract
+    from socialmapper_ray.sources import synth
+
+    pages = rd.read_parquet(synth.table_path(SF, "pages"))
+    a = extract.extract_pois(pages, batch_size=64).to_pandas()
+    b = extract.extract_pois(pages.repartition(13), batch_size=512).to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    assert (a["text"] == b["text"]).all()
+    assert np.array_equal(a["lat"].to_numpy(), b["lat"].to_numpy(),
+                          equal_nan=True)
+
+
+def test_knn_cell_pruned_equals_brute(synth_dir, ray_session):
+    import ray
+
+    from socialmapper_ray.sources import synth
+    from socialmapper_ray.stages import extract, knn
+
+    pages = rd.read_parquet(synth.table_path(SF, "pages"))
+    pois = extract.extract_pois(pages).filter(expr="valid == True")
+    centers_ref = knn.centers_ref_from_parquet(
+        synth.table_path(SF, "band_centers"))
+    brute = knn.knn_nearest(pois, centers_ref).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    pruned = pois.map_batches(
+        knn.CellPrunedNearest,
+        fn_constructor_kwargs=dict(centers_ref=centers_ref, res=5),
+        batch_format="pyarrow", concurrency=2).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert (brute["nearest_center_id"] == pruned["nearest_center_id"]).all()
+    assert np.allclose(brute["distance_km"], pruned["distance_km"])
+
+
+def test_band_assignment_consistent_with_knn(synth_dir, ray_session):
+    from socialmapper_ray.pipelines import spatial
+
+    bands = spatial.bands_q(SF).to_pandas()
+    knn = spatial.knn_q(SF).to_pandas()
+    m = bands.merge(knn, on="url")
+    assert (m["center_id"] == m["nearest_center_id"]).all()
+    assert set(m["band"].unique()) <= {-1, 5, 10, 15, 30}
+
+
+def test_flagship_entry(synth_dir, ray_session):
+    import __ray_entry__ as e
+
+    out = e.entry()
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(df) > 0
+    assert {"zone_id", "n_pois", "sum_n_chars",
+            "total_population"} <= set(df.columns)
+    # zones only appear with at least one contained POI
+    assert (df["n_pois"] >= 1).all()
+
+
+def test_zonal_agg_equals_pandas(synth_dir, ray_session):
+    from socialmapper_ray.pipelines import spatial
+
+    got = spatial.zonal_agg_q(SF).to_pandas().sort_values("zone_id") \
+        .reset_index(drop=True)
+    pip = spatial.pip_join_q(SF).to_pandas()
+    # n_pois via plain pandas over the (already-verified) pip pairs
+    want = pip.groupby("zone_id").size().sort_index()
+    assert (got.set_index("zone_id")["n_pois"].sort_index() == want).all()

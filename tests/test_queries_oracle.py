@@ -1,0 +1,59 @@
+"""Driver-contract replica: every queries() entry with an oracle must
+match DuckDB at sf0.001 (the driver gates at sf0.01 with the same
+logic; scripts/check_correctness.py runs that by hand)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from check_correctness import TABLES, compare, to_df  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracles_for(sf_dir: str) -> dict[str, str]:
+    import __ray_entry__ as entrymod
+    from socialmapper_ray.pipelines import spatial as sp
+    from socialmapper_ray.sources import synth
+
+    d = synth.ensure_synth(sf_dir)
+    oracles = dict(entrymod.oracle_sql())
+    for name, fn in (("extract_pois", sp.extract_pois_sql),
+                     ("pip_join", sp.pip_join_sql),
+                     ("zonal_agg", sp.zonal_agg_sql),
+                     ("knn_nearest", sp.knn_sql),
+                     ("band_assign", sp.bands_sql),
+                     ("enrich_zones", sp.enrich_zones_sql),
+                     ("geoid_components", sp.geoid_components_sql),
+                     ("scrub_demographics", sp.scrub_demographics_sql)):
+        oracles[name] = fn(d)
+    return oracles
+
+
+def _query_names():
+    import __ray_entry__ as entrymod
+
+    return sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(name, ray_session):
+    import __ray_entry__ as entrymod
+
+    got = to_df(entrymod.queries()[name](SF))
+    oracles = _oracles_for(SF)
+    if name not in oracles:
+        assert len(got) >= 0  # rows-only contract
+        return
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(oracles[name]).df()
+    err = compare(got, want)
+    assert err is None, f"{name}: {err}"
