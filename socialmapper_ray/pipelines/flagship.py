@@ -22,10 +22,23 @@ from ..stages import tile as tile_mod
 from ..stages import zonal as zonal_mod
 
 
+def _default_blocks() -> int:
+    """Split reads into ~2 blocks per CPU so every downstream stage
+    (extract tasks, PIP/kNN actor pools) has work to pipeline; a single
+    parquet file otherwise arrives as ONE block and serializes the run."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, 2 * cpus)
+
+
 def read_pages(sf_dir: str, replicate: int = 1):
     """Pages source with html kept (extract drops it first thing)."""
     path = synth.table_path(sf_dir, "pages", replicate)
-    return rd.read_parquet(path)
+    return rd.read_parquet(path, override_num_blocks=_default_blocks())
 
 
 def flagship(sf_dir: str, concurrency: int = 4, replicate: int = 1):
@@ -46,3 +59,27 @@ def flagship(sf_dir: str, concurrency: int = 4, replicate: int = 1):
     demo_ref = enrich_mod.demographics_ref(
         synth.table_path(sf_dir, "demographics"))
     return enrich_mod.enrich(zonal, demo_ref)
+
+
+def full_corpus(sf_dir: str, concurrency: int = 8, replicate: int = 1):
+    """Compute-dense headline job: one pass over every page computing
+    extraction + per-doc signatures (MinHash bands / SimHash /
+    fingerprint / quality) + tiling + PIP join + zonal counts.
+
+    This is the shape of a real 100 TB corpus run — per-page CPU
+    dominates, framework overhead amortises — and is the workload the
+    scaling benchmark (bench.py --scaling) measures.
+    """
+    from ..stages import features as features_mod
+
+    synth.ensure_synth(sf_dir, replicate)
+    pages = read_pages(sf_dir, replicate)
+    extracted = extract_mod.extract_pois(pages)
+    featured = features_mod.with_text_features(extracted)
+    valid = featured.filter(expr="valid == True")
+    tiled = tile_mod.tile_points(valid)
+    index_ref = pip_mod.build_zone_index(synth.table_path(sf_dir, "zones"))
+    joined = pip_mod.pip_join(tiled, index_ref,
+                              keep_cols=("url", "n_chars"),
+                              concurrency=concurrency)
+    return zonal_mod.zonal_counts(joined, value_col="n_chars")

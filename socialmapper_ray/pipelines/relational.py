@@ -27,16 +27,25 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _read(sf_dir: str, table: str, columns: list[str]):
+    """Column-pruned read, split into enough blocks to feed every CPU
+    (driver test files are single-parquet; without override_num_blocks
+    they arrive as one block and the pipeline serializes)."""
+    from .flagship import _default_blocks
+
+    return rd.read_parquet(_p(sf_dir, table), columns=columns,
+                           override_num_blocks=_default_blocks())
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 flavour: grouped sums over lineitem with a date filter.
 
     Partial per-batch combine before the groupby shuffle: the exchange
     moves one row per (group, batch), not one per lineitem row.
     """
-    ds = rd.read_parquet(
-        _p(sf_dir, "lineitem"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_shipdate"])
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
 
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
@@ -60,10 +69,13 @@ def q1_pricing_summary(sf_dir: str):
           .sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # tiny partials (6 groups x n_batches): tree combine beats the
+    # Aggregate all-to-all barrier (see stages/zonal.py rationale)
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]) \
-        .aggregate(Sum("sq", alias_name="sq"), Sum("sbp", alias_name="sbp"),
-                   Sum("sdp", alias_name="sdp"), Sum("n", alias_name="n"))
+        .repartition(1) \
+        .map_batches(lambda df: df.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False).sum().reset_index(),
+            batch_format="pandas", batch_size=None)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -112,9 +124,8 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
     odf = odf[odf["o_custkey"].isin(cust_keys) & (odf["o_orderdate"] < cut)]
     orders_ref = ray.put(odf[["o_orderkey", "o_orderdate"]])
 
-    li = rd.read_parquet(_p(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_extendedprice",
-                                  "l_discount", "l_shipdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     class JoinRevenue:
         def __init__(self, ref):
@@ -175,8 +186,7 @@ LIMIT 10
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate (§2.9 guide: batch groupby on a
     truncated timestamp), partial-combined per batch."""
-    ds = rd.read_parquet(_p(sf_dir, "events"),
-                         columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # event values are 4-decimal quantized -> exact int64 e4 units
@@ -186,15 +196,16 @@ def events_hourly(sf_dir: str):
             n=("value", "size"), v=("v", "sum")).reset_index()
 
     agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["event_type", "hour"]) \
-        .aggregate(Sum("n", alias_name="n_events"),
-                   Sum("v", alias_name="v"))
+        .repartition(1) \
+        .map_batches(lambda df: df.groupby(
+            ["event_type", "hour"], sort=False).sum().reset_index(),
+            batch_format="pandas", batch_size=None)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "event_type": df["event_type"],
             "hour": df["hour"],
-            "n_events": df["n_events"].astype(np.int64),
+            "n_events": df["n"].astype(np.int64),
             "sum_value_e4": df["v"].astype(np.int64),
         })
 
@@ -214,7 +225,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap-based), as groupby(user).map_groups
     over ts-sorted groups (§2.9 pattern; ordering assumption: within a
     user, ties in ts do not affect session boundaries)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -252,7 +263,7 @@ GROUP BY user_id, session_id
 
 def top_events_by_value(sf_dir: str, k: int = 20):
     """Global sort desc + limit (O3 pattern), deterministic tiebreak."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "value"])
     top = ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
     return top.map_batches(
         lambda df: pd.DataFrame({"event_id": df["event_id"].astype(np.int64),
@@ -274,8 +285,7 @@ def nation_rollup(sf_dir: str):
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     dim_ref = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
 
-    ds = rd.read_parquet(_p(sf_dir, "customer"),
-                         columns=["c_nationkey", "c_acctbal"])
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     class JoinDim:
         def __init__(self, ref):
@@ -291,14 +301,15 @@ def nation_rollup(sf_dir: str):
     agg = ds.map_batches(JoinDim, fn_constructor_args=(dim_ref,),
                          batch_format="pandas", concurrency=2,
                          num_cpus=0.5) \
-        .groupby(["r_name", "n_name"]) \
-        .aggregate(Sum("n", alias_name="n_customers"),
-                   Sum("bal", alias_name="bal"))
+        .repartition(1) \
+        .map_batches(lambda df: df.groupby(
+            ["r_name", "n_name"], sort=False).sum().reset_index(),
+            batch_format="pandas", batch_size=None)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "r_name": df["r_name"], "n_name": df["n_name"],
-            "n_customers": df["n_customers"].astype(np.int64),
+            "n_customers": df["n"].astype(np.int64),
             "sum_acctbal_e2": df["bal"].astype(np.int64),
         })
 

@@ -33,9 +33,10 @@ from ..stages import zonal as zonal_mod
 
 
 def _extracted_valid(sf_dir: str):
+    from .flagship import read_pages
+
     synth.ensure_synth(sf_dir)
-    pages = rd.read_parquet(synth.table_path(sf_dir, "pages"))
-    ext = extract_mod.extract_pois(pages)
+    ext = extract_mod.extract_pois(read_pages(sf_dir))
     return ext.filter(expr="valid == True")
 
 

@@ -24,12 +24,19 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _read(sf_dir: str, table: str, columns: list[str]):
+    from .flagship import _default_blocks
+
+    return rd.read_parquet(_p(sf_dir, table), columns=columns,
+                           override_num_blocks=_default_blocks())
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
 
 def dedup_exact_q(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     agg = dedup_mod.exact_dedup(ds)
     return agg.map_batches(
         lambda df: pd.DataFrame({
@@ -55,7 +62,7 @@ def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
     """
     import pyarrow.parquet as pq
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = dedup_mod.candidate_pairs(ds).to_pandas()
     docs = pq.read_table(_p(sf_dir, "documents"),
                          columns=["doc_id", "text"]).to_pandas()
@@ -68,7 +75,7 @@ def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
 
 
 def simhash_pairs_q(sf_dir: str, max_hamming: int = 10):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup_mod.simhash_pairs(ds, max_hamming=max_hamming)
     return pairs.map_batches(
         lambda df: pd.DataFrame({
@@ -78,7 +85,7 @@ def simhash_pairs_q(sf_dir: str, max_hamming: int = 10):
 
 
 def fingerprint_q(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -95,7 +102,7 @@ def fingerprint_q(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def text_quality_q(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -124,7 +131,7 @@ def text_quality_sql() -> str:
 
 def lang_id_q(sf_dir: str):
     """Heuristic language ID (rows-only; pytest-verified determinism)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -139,8 +146,7 @@ def lang_id_q(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def ann_topk_q(sf_dir: str, k: int = 10, n_queries: int = 8):
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qref = ann_mod.queries_ref_from_parquet(_p(sf_dir, "embeddings"),
                                             n_queries=n_queries)
     out = ann_mod.ann_topk(ds, qref, k=k)

@@ -1,0 +1,76 @@
+"""Sinks (reference K1/K2/K5): CSV + (Geo)Parquet export strategies.
+
+Reference semantics re-created:
+- column reorder/exclusion projection before export
+  (export/preparation.py:115-140, O5),
+- keyed dedup with min/first rules applied pre-export
+  (export/preparation.py:143-187, A2 — available via stages.zonal),
+- Parquet with snappy compression (export/formats/geoparquet.py:23-97),
+  written as a partitioned directory (many files) for resumability —
+  never the reference's read-modify-write append
+  (census/infrastructure/streaming.py:334-427 pathology, K4).
+
+Exporters follow the reference's plugin shape (BaseExporter ABC,
+export/base.py:86-127): one strategy object per format.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class ParquetExporter:
+    file_extension = "parquet"
+    supports_geometry = True  # WKB binary columns pass through
+
+    def __init__(self, compression: str = "snappy",
+                 min_rows_per_file: int | None = None):
+        self.compression = compression
+        self.min_rows_per_file = min_rows_per_file
+
+    def export(self, ds, out_dir: str, columns: list[str] | None = None,
+               exclude: list[str] | None = None) -> str:
+        ds = project(ds, columns, exclude)
+        kw = {"compression": self.compression}
+        if self.min_rows_per_file:
+            kw["min_rows_per_file"] = self.min_rows_per_file
+        ds.write_parquet(out_dir, **kw)
+        return out_dir
+
+
+class CsvExporter:
+    file_extension = "csv"
+    supports_geometry = False  # geometry columns are excluded (K1 rule)
+
+    GEOMETRY_COLUMNS = ("wkb", "geometry")
+
+    def export(self, ds, out_dir: str, columns: list[str] | None = None,
+               exclude: list[str] | None = None) -> str:
+        drop = list(exclude or [])
+        schema_names = ds.schema().names
+        drop += [c for c in self.GEOMETRY_COLUMNS if c in schema_names]
+        ds = project(ds, columns, drop)
+        ds.write_csv(out_dir)
+        return out_dir
+
+
+EXPORTERS = {"parquet": ParquetExporter, "csv": CsvExporter}
+
+
+def project(ds, columns: list[str] | None = None,
+            exclude: list[str] | None = None):
+    """Column reorder/exclusion (reference export/preparation.py:115-140)."""
+    if columns is None and not exclude:
+        return ds
+    names = ds.schema().names
+    if columns is None:
+        columns = [c for c in names if c not in set(exclude or [])]
+    else:
+        columns = [c for c in columns if c in names]
+    return ds.select_columns(columns)
+
+
+def export(ds, out_dir: str, fmt: str = "parquet", **kw) -> str:
+    exporter = EXPORTERS[fmt]()
+    os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
+    return exporter.export(ds, out_dir, **kw)

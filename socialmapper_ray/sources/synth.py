@@ -324,8 +324,26 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     for name, tbl in zip(TABLES, (pages, truth, zones, edges, demo, centers)):
+        if name == "pages":
+            # pages is the big streamed input: write a DIRECTORY of
+            # files so the Ray parquet reader plans one read task per
+            # file (a single file = one serial read task, measured as
+            # the pipeline bottleneck at 32 cpus)
+            pdir = os.path.join(tmp, "pages.parquet")
+            os.makedirs(pdir, exist_ok=True)
+            n = tbl.num_rows
+            shard_rows = max(2048, n // 32)
+            k = 0
+            for s in range(0, n, shard_rows):
+                pq.write_table(tbl.slice(s, shard_rows),
+                               os.path.join(pdir, f"part-{k:05d}.parquet"),
+                               compression="snappy", row_group_size=2048)
+                k += 1
+            continue
+        # small row groups so Ray's parquet reader can split the file
+        # into blocks (a single row group = one block = no parallelism)
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"),
-                       compression="snappy")
+                       compression="snappy", row_group_size=2048)
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
     import shutil

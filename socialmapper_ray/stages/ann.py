@@ -66,15 +66,19 @@ class PartialTopK:
 
 
 def final_topk(partials_ds, k: int):
-    def per_query(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    """Merge partial top-ks: one combine task (partials are bounded by
+    n_batches * n_queries * k rows — tiny; a shuffle would cost more)."""
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("query_id", sort=False):
+            g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                              kind="stable").head(k).copy()
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            parts.append(g)
+        return pd.concat(parts, ignore_index=True)
 
-    return partials_ds.groupby("query_id").map_groups(
-        per_query, batch_format="pandas")
+    return partials_ds.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None)
 
 
 def ann_topk(emb_ds, queries_ref, k: int = 10, concurrency=4,
