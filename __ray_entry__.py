@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_zones": sp.enrich_zones_q,
         "geoid_components": sp.geoid_components_q,
         "scrub_demographics": sp.scrub_demographics_q,
+        "custom_pois": sp.custom_pois_q,
+        "zone_centroids": sp.zone_centroids_q,
+        "zone_neighbors": sp.zone_neighbors_q,
         # --- relational wide ops (groupby/join/sort/limit/window)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -59,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": rel.lang_counts,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
+        "dedup_exact_salted": tp.dedup_exact_salted_q,
+        "media_features": tp.media_features_q,
         "dedup_minhash_pairs": tp.minhash_pairs_q,
         "dedup_simhash_pairs": tp.simhash_pairs_q,
         "doc_fingerprint": tp.fingerprint_q,
@@ -90,6 +95,9 @@ def oracle_sql() -> dict[str, str]:
         "enrich_zones": sp.enrich_zones_sql(d),
         "geoid_components": sp.geoid_components_sql(d),
         "scrub_demographics": sp.scrub_demographics_sql(d),
+        "custom_pois": sp.custom_pois_sql(d),
+        "zone_centroids": sp.zone_centroids_sql(d),
+        "zone_neighbors": sp.zone_neighbors_sql(d),
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
@@ -98,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_rollup": rel.NATION_ROLLUP_SQL,
         "lang_counts": rel.LANG_COUNTS_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
+        "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),
         "ann_topk": tp.ANN_TOPK_SQL,
     }

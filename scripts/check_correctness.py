@@ -96,7 +96,10 @@ def main():
                      ("band_assign", sp.bands_sql),
                      ("enrich_zones", sp.enrich_zones_sql),
                      ("geoid_components", sp.geoid_components_sql),
-                     ("scrub_demographics", sp.scrub_demographics_sql)):
+                     ("scrub_demographics", sp.scrub_demographics_sql),
+                     ("custom_pois", sp.custom_pois_sql),
+                     ("zone_centroids", sp.zone_centroids_sql),
+                     ("zone_neighbors", sp.zone_neighbors_sql)):
         oracles[name] = fn(d)
 
     con = duckdb.connect()

@@ -269,3 +269,101 @@ def scrub_demographics_sql(d: str) -> str:
                 THEN NULL ELSE value END AS value_clean
     FROM read_parquet('{d}/demographics.parquet')
     """
+
+
+# ---------------------------------------------------------------------------
+# S1: custom-coordinates reader (alias resolution + validation)
+# ---------------------------------------------------------------------------
+
+def custom_pois_q(sf_dir: str):
+    from ..sources import readers
+
+    path = synth.aux_path(sf_dir, "custom_coords.csv")
+    ds = readers.read_custom_coordinates(path)
+    return ds.select_columns(["id", "name", "type", "lat", "lon"])
+
+
+def custom_pois_sql(d: str) -> str:
+    return f"""
+    SELECT CAST(key AS VARCHAR) AS id, label AS name,
+           category AS type, latitude AS lat, lng AS lon
+    FROM read_csv('{d}/custom_coords.csv', header=true)
+    WHERE latitude BETWEEN -90 AND 90 AND lng BETWEEN -180 AND 180
+    """
+
+
+# ---------------------------------------------------------------------------
+# M7: zone centroids (shoelace) — WKB in the engine, edge table in SQL
+# ---------------------------------------------------------------------------
+
+def zone_centroids_q(sf_dir: str):
+    from ..stages import geometry_ops
+
+    synth.ensure_synth(sf_dir)
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["zone_id", "wkb"])
+    out = geometry_ops.zone_centroids(zones)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "zone_id": df["zone_id"],
+            "cx": df["cx"].round(6), "cy": df["cy"].round(6)}),
+        batch_format="pandas")
+
+
+def zone_centroids_sql(d: str) -> str:
+    return f"""
+    SELECT zone_id,
+           ROUND(SUM((x1 + x2) * (x1 * y2 - x2 * y1))
+                 / (3 * SUM(x1 * y2 - x2 * y1)), 6) AS cx,
+           ROUND(SUM((y1 + y2) * (x1 * y2 - x2 * y1))
+                 / (3 * SUM(x1 * y2 - x2 * y1)), 6) AS cy
+    FROM read_parquet('{d}/zone_edges.parquet')
+    GROUP BY zone_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# J6: static neighbor-lookup broadcast join
+# ---------------------------------------------------------------------------
+
+def zone_neighbors_q(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray
+
+    synth.ensure_synth(sf_dir)
+    nb = pq.read_table(
+        synth.aux_path(sf_dir, "state_neighbors.parquet")).to_pandas()
+    counts = nb.groupby("state_fips").size().to_dict()
+    nb_ref = ray.put(counts)
+
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["zone_id"])
+
+    class NeighborLookup:
+        def __init__(self, ref):
+            self.counts = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            state = df["zone_id"].str[:2]
+            return pd.DataFrame({
+                "zone_id": df["zone_id"],
+                "state_fips": state,
+                "n_neighbors": state.map(self.counts).fillna(0)
+                                    .astype(np.int64),
+            })
+
+    return zones.map_batches(NeighborLookup, fn_constructor_args=(nb_ref,),
+                             batch_format="pandas", concurrency=2,
+                             num_cpus=0.5)
+
+
+def zone_neighbors_sql(d: str) -> str:
+    return f"""
+    SELECT z.zone_id, substr(z.zone_id, 1, 2) AS state_fips,
+           CAST(COUNT(n.neighbor_fips) AS BIGINT) AS n_neighbors
+    FROM read_parquet('{d}/zones.parquet') z
+    LEFT JOIN read_parquet('{d}/state_neighbors.parquet') n
+      ON substr(z.zone_id, 1, 2) = n.state_fips
+    GROUP BY z.zone_id
+    """

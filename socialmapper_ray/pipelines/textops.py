@@ -159,6 +159,41 @@ def ann_topk_q(sf_dir: str, k: int = 10, n_queries: int = 8):
         batch_format="pandas")
 
 
+def dedup_exact_salted_q(sf_dir: str):
+    """Same result as dedup_exact via the skew-safe salted shuffle
+    (checked against the SAME SQL oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    agg = dedup_mod.exact_dedup_salted(ds)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "text_hash": df["text_hash"],
+            "keep_id": df["keep_id"].astype(np.int64),
+            "n_dupes": df["n_dupes"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def media_features_q(sf_dir: str):
+    """Multimodal decode stage over the pages' binary payload (stub
+    decoder — see stages/multimodal.py). Rows-only check."""
+    from ..pipelines.flagship import read_pages
+    from ..sources import synth
+    from ..stages import multimodal
+
+    synth.ensure_synth(sf_dir)
+    pages = read_pages(sf_dir).select_columns(["url", "html"]) \
+        .rename_columns(["url", "payload"])
+    out = multimodal.decode_media(pages)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        f0 = np.asarray([f[0] for f in df["features"]])
+        return pd.DataFrame({
+            "url": df["url"],
+            "n_bytes": df["n_bytes"].astype(np.int64),
+            "f0_ppm": np.floor(f0 * 1e6).astype(np.int64)})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

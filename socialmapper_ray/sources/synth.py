@@ -275,6 +275,39 @@ TABLES = ("pages", "pois_truth", "zones", "zone_edges", "demographics",
           "band_centers")
 
 
+def build_custom_coords_csv(truth: pa.Table, n: int = 200) -> str:
+    """CSV with the reference's alias-column shape (S1,
+    pipeline/extraction.py:24-202): latitude/lng aliases, extra columns
+    destined for the tags map, plus deterministic invalid rows that the
+    validator must drop."""
+    t = truth.slice(0, n).to_pandas()
+    lines = ["key,label,latitude,lng,category,region_tag"]
+    for k, row in enumerate(t.itertuples(index=False)):
+        if not row.has_geo:
+            continue
+        if k % 17 == 5:   # out-of-range coordinate -> must be filtered
+            lat = 95.5
+        else:
+            lat = row.lat
+        lines.append(f"K{k:05d},{row.name},{lat:.6f},{row.lon:.6f},"
+                     f"library,region{k % 7}")
+    return "\n".join(lines) + "\n"
+
+
+def build_state_neighbors() -> pa.Table:
+    """Static state-adjacency lookup (reference J6,
+    census/__init__.py:334-411 hardcoded dict): synthetic linear
+    adjacency state s <-> s+-1 over the 50 synthetic states."""
+    a, b = [], []
+    for s in range(1, 51):
+        for nb in (s - 1, s + 1):
+            if 1 <= nb <= 50:
+                a.append(f"{s:02d}")
+                b.append(f"{nb:02d}")
+    return pa.table({"state_fips": pa.array(a),
+                     "neighbor_fips": pa.array(b)})
+
+
 def synth_dir(sf_dir: str, replicate: int = 1) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     if replicate > 1:
@@ -344,6 +377,11 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
         # into blocks (a single row group = one block = no parallelism)
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"),
                        compression="snappy", row_group_size=2048)
+    with open(os.path.join(tmp, "custom_coords.csv"), "w") as f:
+        f.write(build_custom_coords_csv(truth))
+    pq.write_table(build_state_neighbors(),
+                   os.path.join(tmp, "state_neighbors.parquet"),
+                   compression="snappy")
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
     import shutil
@@ -364,3 +402,9 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
 def table_path(sf_dir: str, name: str, replicate: int = 1) -> str:
     assert name in TABLES, name
     return os.path.join(ensure_synth(sf_dir, replicate), f"{name}.parquet")
+
+
+def aux_path(sf_dir: str, filename: str) -> str:
+    """Path of a non-parquet-table artifact (custom_coords.csv,
+    state_neighbors.parquet)."""
+    return os.path.join(ensure_synth(sf_dir), filename)

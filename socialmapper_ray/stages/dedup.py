@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 _WS = re.compile(r"\s+")
 
@@ -59,6 +59,30 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         batch_format="pandas")
     return hashed.groupby("text_hash").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_dupes"))
+
+
+def exact_dedup_salted(ds, id_col: str = "doc_id", text_col: str = "text",
+                       salt_buckets: int = 8):
+    """Skew-safe exact dedup: salt the shuffle key (SURVEY.md §7.3).
+
+    A viral duplicate (one text repeated millions of times) would send
+    every copy to ONE reducer in the plain groupby. Salting splits each
+    text_hash across ``salt_buckets`` sub-keys, reduces per sub-key
+    (min/count partials), then runs a second, tiny groupby over one row
+    per (hash, salt). Verified equal to :func:`exact_dedup` in tests.
+    """
+    import numpy as np
+
+    def hash_and_salt(b: pd.DataFrame) -> pd.DataFrame:
+        out = add_text_hash(b, text_col)[["text_hash", id_col]]
+        out["salt"] = (out[id_col].to_numpy() % salt_buckets).astype(np.int64)
+        return out
+
+    salted = ds.map_batches(hash_and_salt, batch_format="pandas")
+    per_salt = salted.groupby(["text_hash", "salt"]).aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n"))
+    return per_salt.groupby("text_hash").aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_dupes"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Geometry batch operators (reference M6/M7/M9/A1) over WKB columns.
+
+- ``simplify_zones`` — Douglas-Peucker per polygon (M6,
+  isochrone/__init__.py:136-139 ``geometry.simplify(tolerance,
+  preserve_topology=True)``).
+- ``zone_centroids`` — shoelace area centroid (M7,
+  distance/__init__.py:133-138).
+- ``zone_hulls`` — convex hull per polygon (M9,
+  clustering.py:412-415).
+- ``hull_union`` — A1 analogue of the reference's global
+  ``unary_union`` (pipeline/census.py:87): a tree-reduction convex-hull
+  union (partial hull per batch -> final hull over partial vertices).
+  The exact polygon union is intentionally NOT provided: at scale the
+  engine's PIP join works per-polygon + dedup (SURVEY.md §2.5 A1
+  mapping), and the hull is what the reference itself submits upstream
+  (spatial_block_group_service.py:110-112 takes the convex hull before
+  the API call).
+
+All stages are stateless ``map_batches`` over WKB binary columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import geom
+
+
+def _map_wkb(df: pd.DataFrame, fn, wkb_col: str = "wkb") -> list[bytes]:
+    out = []
+    for blob in df[wkb_col]:
+        kind, coords = geom.wkb_decode(blob)
+        assert kind == "polygon"
+        out.append(geom.wkb_polygon(fn(coords)))
+    return out
+
+
+def simplify_zones(ds, tolerance: float, wkb_col: str = "wkb"):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[wkb_col] = _map_wkb(
+            df, lambda c: geom.simplify_polygon(c, tolerance), wkb_col)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def zone_centroids(ds, wkb_col: str = "wkb"):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cx, cy = [], []
+        for blob in df[wkb_col]:
+            _, coords = geom.wkb_decode(blob)
+            x, y = geom.polygon_centroid(coords)
+            cx.append(x)
+            cy.append(y)
+        out = df.drop(columns=[wkb_col])
+        out["cx"] = np.asarray(cx)
+        out["cy"] = np.asarray(cy)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def zone_hulls(ds, wkb_col: str = "wkb"):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[wkb_col] = _map_wkb(df, geom.convex_hull, wkb_col)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def hull_union(ds, wkb_col: str = "wkb"):
+    """-> 1-row Dataset holding the convex hull (WKB) of all polygons.
+
+    Tree topology: per-batch partial hull (vertices collapse to <= hull
+    size) -> single final hull. No driver-side geometry, no all-to-all.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pts = []
+        for blob in df[wkb_col]:
+            _, coords = geom.wkb_decode(blob)
+            pts.append(coords)
+        hull = geom.convex_hull(np.vstack(pts))
+        return pd.DataFrame({wkb_col: [geom.wkb_polygon(hull)]})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        pts = []
+        for blob in df[wkb_col]:
+            _, coords = geom.wkb_decode(blob)
+            pts.append(coords)
+        hull = geom.convex_hull(np.vstack(pts))
+        return pd.DataFrame({wkb_col: [geom.wkb_polygon(hull)],
+                             "n_vertices": [len(hull)]})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(final, batch_format="pandas",
+                                               batch_size=None)

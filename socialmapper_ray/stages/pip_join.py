@@ -88,6 +88,121 @@ def pip_join(points_ds, index_ref, keep_cols=("url",), concurrency=4,
     )
 
 
+# ---------------------------------------------------------------------------
+# Partition-pruned variant (the 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+def bucket_zones_by_cell(zones_path: str, part_res: int = 3,
+                         bin_deg: float = 0.5):
+    """Zones bucketed by coarse quadcell: cell -> (GridIndex, zone_ids).
+
+    Each part_res cell registers every zone whose bbox intersects the
+    cell's guaranteed-superset lat/lon bbox (tiles.quad_cell_latlon_bbox),
+    so a point's partition always holds all zones that could contain it.
+    This bounds the per-actor index to one partition's zones — the knob
+    that keeps broadcast memory flat when the zone table outgrows a
+    single broadcast (SURVEY.md §7.4 "actor-pool sizing vs broadcast
+    memory"; the reference's analogue is its 5 GB network-cache cap,
+    isochrone/cache.py:73).
+    """
+    from .. import tiles
+
+    tbl = pq.read_table(zones_path, columns=["zone_id", "wkb"])
+    zone_ids = np.asarray(tbl["zone_id"].to_pylist())
+    polyset = geom.PolygonSet.from_wkb(tbl["wkb"].to_pylist())
+    bb = polyset.bbox  # (lon_min, lat_min, lon_max, lat_max)
+    buckets: dict[int, list[int]] = {}
+    for cell in tiles.quad_cells_at_res(part_res):
+        lat_min, lat_max, lon_min, lon_max = \
+            tiles.quad_cell_latlon_bbox(int(cell))
+        hit = np.flatnonzero(
+            (bb[:, 0] <= lon_max) & (bb[:, 2] >= lon_min)
+            & (bb[:, 1] <= lat_max) & (bb[:, 3] >= lat_min))
+        if len(hit):
+            buckets[int(cell)] = hit.tolist()
+    out = {}
+    for cell, idxs in buckets.items():
+        sub = geom.PolygonSet(
+            [polyset.verts[i, : polyset.nv[i]] for i in idxs])
+        out[cell] = (geom.GridIndex(sub, bin_deg=bin_deg), zone_ids[idxs])
+    return out
+
+
+class PartitionedPIPJoiner:
+    """Actor-pool PIP probe that looks up the per-partition index by the
+    row's ``part_key`` — rows must already carry the tile stage's
+    part_key at the same ``part_res`` the buckets were built with."""
+
+    def __init__(self, buckets_ref, keep_cols=("url",), lat_col="lat",
+                 lon_col="lon"):
+        self.buckets = ray.get(buckets_ref)
+        self.keep_cols = list(keep_cols)
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+        from .. import tiles
+
+        sample = next(iter(self.buckets), None)
+        self.part_res = (int(tiles.quad_res(np.uint64(sample)))
+                         if sample is not None else None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tiles
+
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        part = batch["part_key"].to_numpy(zero_copy_only=False)
+        if len(part) and self.part_res is not None:
+            row_res = int(tiles.quad_res(part[:1])[0])
+            if row_res != self.part_res:
+                raise ValueError(
+                    f"part_key resolution mismatch: rows tiled at res "
+                    f"{row_res} but zone buckets built at res "
+                    f"{self.part_res} — a mismatch silently yields an "
+                    f"empty join; re-tile with part_res={self.part_res}")
+        out_pt: list[np.ndarray] = []
+        out_zone: list[np.ndarray] = []
+        for cell in np.unique(part):
+            bucket = self.buckets.get(int(cell))
+            if bucket is None:
+                continue
+            index, ids = bucket
+            rows = np.flatnonzero(part == cell)
+            pt, poly = index.query(lon[rows], lat[rows])
+            out_pt.append(rows[pt])
+            out_zone.append(ids[poly])
+        if not out_pt:
+            cols = {c: batch[c].slice(0, 0) for c in self.keep_cols}
+            cols["zone_id"] = pa.array([], pa.string())
+            return pa.table(cols)
+        pt = np.concatenate(out_pt)
+        cols = {c: batch[c].take(pa.array(pt)) for c in self.keep_cols}
+        cols["zone_id"] = pa.array(np.concatenate(out_zone))
+        return pa.table(cols)
+
+
+def pip_join_partitioned(points_ds, zones_path: str, part_res: int = 3,
+                         keep_cols=("url",), concurrency=4,
+                         batch_size: int = 4096):
+    """Partition-pruned PIP join: points carry part_key (tile stage at
+    ``part_res``); each probe touches only its partition's zone index.
+
+    In this single-broadcast implementation the whole bucket dict ships
+    once via ray.put (fine while buckets fit one node); the multi-node
+    layout shards the dict by cell across placement groups — the probe
+    code is unchanged. Verified equal to the broadcast join in tests.
+    """
+    buckets_ref = ray.put(bucket_zones_by_cell(zones_path, part_res))
+    return points_ds.map_batches(
+        PartitionedPIPJoiner,
+        fn_constructor_kwargs=dict(buckets_ref=buckets_ref,
+                                   keep_cols=keep_cols),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
 def pip_join_bruteforce(points: pd.DataFrame, zones_path: str) -> pd.DataFrame:
     """Test-only dual oracle: O(points x zones) exact join (the pattern of
     the reference's engine.py:302-344 self-check). Driver-side pandas."""

@@ -272,6 +272,89 @@ def hex_disk(cell: int, k: int) -> np.ndarray:
     return np.concatenate([hex_ring(cell, i) for i in range(k + 1)])
 
 
+def quad_cells_at_res(res: int) -> np.ndarray:
+    """All 6 * 4^res cell ids at resolution ``res`` (res <= ~6 practical)."""
+    n = 1 << res
+    i, j = np.meshgrid(np.arange(n, dtype=np.uint64),
+                       np.arange(n, dtype=np.uint64))
+    morton = _morton2(i.ravel(), j.ravel())
+    shift = _U(61 - 2 * res)
+    marker = _U(1) << _U(60 - 2 * res)
+    cells = []
+    for face in range(6):
+        cells.append((_U(face) << _U(61)) | (morton << shift) | marker)
+    return np.concatenate(cells)
+
+
+def quad_cell_latlon_bbox(cell: int, boundary_samples: int = 33,
+                          margin: float = 1e-6):
+    """Numeric (lat_min, lat_max, lon_min, lon_max) of a cell's region.
+
+    The cube-face cell is a rect in (s, t); its lat/lon extremes lie on
+    the boundary, which we sample densely and pad with ``margin``
+    degrees (plus a curvature allowance) so the result is a guaranteed-
+    superset bbox for pruning registrations (tests assert the superset
+    property). Cells touching a pole or the antimeridian get the full
+    lat/lon range on the wrapped axis.
+    """
+    c = _u(cell)
+    lsb = int(quad_lsb(c))
+    res = int(quad_res(c))
+    face = int(c >> _U(61))
+    n = 1 << res
+    # recover (i, j) from the morton bits
+    morton = int((c & _U((1 << 61) - 1)) >> _U(61 - 2 * res))
+    i = j = 0
+    for b in range(res):
+        i |= ((morton >> (2 * b + 1)) & 1) << b
+        j |= ((morton >> (2 * b)) & 1) << b
+    s0, s1 = i / n, (i + 1) / n
+    t0, t1 = j / n, (j + 1) / n
+    ss = np.linspace(s0, s1, boundary_samples)
+    ts = np.linspace(t0, t1, boundary_samples)
+    bs = np.concatenate([
+        np.column_stack([ss, np.full_like(ss, t0)]),
+        np.column_stack([ss, np.full_like(ss, t1)]),
+        np.column_stack([np.full_like(ts, s0), ts]),
+        np.column_stack([np.full_like(ts, s1), ts]),
+    ])
+    u = bs[:, 0] * 2.0 - 1.0
+    v = bs[:, 1] * 2.0 - 1.0
+    axis = face % 3
+    neg = face >= 3
+    d = np.full(len(u), -1.0 if neg else 1.0)
+    a = u * d
+    b = v * d
+    if axis == 0:
+        x, y, z = d, a, b
+    elif axis == 1:
+        y, z, x = d, a, b
+    else:
+        z, x, y = d, a, b
+    norm = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(np.clip(z / norm, -1, 1)))
+    lon = np.degrees(np.arctan2(y, x))
+    # lat has an interior extremum only at the poles, which sit at the
+    # center of the +-z faces: a cell containing that center must widen
+    # to the pole (boundary sampling alone would miss it)
+    if axis == 2 and s0 <= 0.5 <= s1 and t0 <= 0.5 <= t1:
+        pole = -90.0 if neg else 90.0
+        lat = np.append(lat, pole)
+        return (max(-90.0, float(lat.min()) - margin),
+                min(90.0, float(lat.max()) + margin), -180.0, 180.0)
+    # curvature allowance: boundary sampling misses at most the sagitta
+    # between consecutive samples; cell angular size / samples^2 bounds it
+    curv = 90.0 / n / (boundary_samples - 1)
+    lat_min = float(lat.min()) - margin - curv
+    lat_max = float(lat.max()) + margin + curv
+    if lat_max >= 89.9 or lat_min <= -89.9 or (lon.max() - lon.min()) > 180.0:
+        # pole or antimeridian crossing: be conservative on lon
+        return max(-90.0, lat_min), min(90.0, lat_max), -180.0, 180.0
+    lon_min = float(lon.min()) - margin - curv
+    lon_max = float(lon.max()) + margin + curv
+    return lat_min, lat_max, lon_min, lon_max
+
+
 # ---------------------------------------------------------------------------
 # Covering tokens (quadcell cover of a bbox, by corner+grid sampling)
 # ---------------------------------------------------------------------------

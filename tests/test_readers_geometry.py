@@ -1,0 +1,114 @@
+"""Tests for S1 reader, K3 converter, geometry ops, multimodal stubs."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from socialmapper_ray import geom
+from socialmapper_ray.sources import readers, synth
+from socialmapper_ray.stages import geometry_ops, multimodal
+
+SF = "/root/testdata/sf0.001"
+TMP = "/tmp/smray_test_readers"
+
+
+@pytest.fixture(autouse=True)
+def clean():
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+    yield
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_normalize_poi_aliases():
+    df = pd.DataFrame({
+        "Latitude": ["10.5", "95.0", "x"],
+        "LONG": ["-70.25", "-70.0", "-70.0"],
+        "title": ["a", "b", "c"],
+        "extra": ["e1", "e2", "e3"],
+    })
+    out = readers.normalize_poi_batch(df)
+    assert out["valid"].tolist() == [True, False, False]
+    assert out["lat"].iloc[0] == 10.5 and out["lon"].iloc[0] == -70.25
+    assert out["name"].tolist() == ["a", "b", "c"]
+    assert '"extra": "e1"' in out["tags"].iloc[0]
+    with pytest.raises(ValueError, match="no lat/lon"):
+        readers.normalize_poi_batch(pd.DataFrame({"foo": [1]}))
+
+
+def test_read_custom_coordinates(ray_session):
+    path = synth.aux_path(SF, "custom_coords.csv")
+    ds = readers.read_custom_coordinates(path)
+    df = ds.to_pandas()
+    assert len(df) > 100
+    assert df["lat"].between(-90, 90).all()
+    assert (df["type"] == "library").all()
+    kept = readers.read_custom_coordinates(path, keep_invalid=True)
+    assert kept.count() > len(df)  # invalid rows retained when asked
+
+
+def test_csv_to_parquet_roundtrip(ray_session):
+    src = os.path.join(TMP, "in.csv")
+    with open(src, "w") as f:
+        f.write("a,b\n1,x\n2,y\n3,z\n")
+    dst = os.path.join(TMP, "out")
+    readers.convert_csv_to_parquet(src, dst)
+    back = rd.read_parquet(dst).to_pandas().sort_values("a")
+    assert back["a"].tolist() == [1, 2, 3]
+    assert back["b"].tolist() == ["x", "y", "z"]
+
+
+def test_geometry_ops_roundtrip(ray_session):
+    zones = rd.read_parquet(synth.table_path(SF, "zones"),
+                            columns=["zone_id", "wkb"])
+    simplified = geometry_ops.simplify_zones(zones, 0.05).to_pandas()
+    orig = zones.to_pandas()
+    nv = lambda blob: len(geom.wkb_decode(blob)[1])
+    assert sum(nv(b) for b in simplified["wkb"]) <= \
+        sum(nv(b) for b in orig["wkb"])
+
+    hulls = geometry_ops.zone_hulls(zones).to_pandas()
+    assert len(hulls) == len(orig)
+
+    union = geometry_ops.hull_union(zones).to_pandas()
+    assert len(union) == 1
+    _, hull = geom.wkb_decode(union["wkb"].iloc[0])
+    # hull must contain every zone vertex (shrunk slightly inward)
+    ps = geom.PolygonSet([hull[:-1]])
+    c = hull[:-1].mean(axis=0)
+    for blob in orig["wkb"].head(10):
+        _, coords = geom.wkb_decode(blob)
+        inner = coords * (1 - 1e-9) + c * 1e-9
+        mask = geom.points_in_polygons(
+            inner[:, 0], inner[:, 1], ps,
+            np.arange(len(inner)), np.zeros(len(inner), dtype=int))
+        assert mask.all()
+
+
+def test_multimodal_fake_decoder(ray_session):
+    pages = rd.read_parquet(synth.table_path(SF, "pages")) \
+        .select_columns(["url", "html"]).rename_columns(["url", "payload"])
+    out = multimodal.decode_media(pages).to_pandas()
+    assert len(out) == 500
+    assert "payload" not in out.columns       # wide binary dropped
+    assert (out["n_bytes"] > 0).all()
+    f = np.vstack(out["features"].to_numpy())
+    assert f.shape == (500, multimodal.FEATURE_DIM)
+    assert ((f >= 0) & (f < 1)).all()
+    # determinism across runs
+    out2 = multimodal.decode_media(pages).to_pandas()
+    m1 = out.sort_values("url")["features"].map(tuple).tolist()
+    m2 = out2.sort_values("url")["features"].map(tuple).tolist()
+    assert m1 == m2
+
+
+def test_real_decoder_raises():
+    with pytest.raises(NotImplementedError, match="decode libraries"):
+        multimodal.RealDecoder()
