@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": tp.minhash_pairs_q,
         "dedup_simhash_pairs": tp.simhash_pairs_q,
         "doc_fingerprint": tp.fingerprint_q,
+        "embedding_neardup": tp.embedding_neardup_q,
+        "ann_topk_lsh": tp.ann_topk_lsh_q,
+        "sample_docs": tp.sample_docs_q,
         "text_quality": tp.text_quality_q,
         "lang_id": tp.lang_id_q,
         "ann_topk": tp.ann_topk_q,
@@ -109,4 +112,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),
         "ann_topk": tp.ANN_TOPK_SQL,
+        "embedding_neardup": tp.EMBEDDING_NEARDUP_SQL,
     }

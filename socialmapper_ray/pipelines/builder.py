@@ -197,6 +197,35 @@ class PipelineBuilder:
         self._stages.append(PipelineStage(name, fn, description))
         return self
 
+    def with_checkpoint(self, out_dir: str, inputs: list[str] | None = None,
+                        partition_col: str | None = None) \
+            -> "PipelineBuilder":
+        """Persist the chain-so-far to parquet + lineage manifest; a
+        rerun with unchanged inputs resumes from the checkpoint instead
+        of recomputing (state/manifest.py — the north rule's
+        checkpoint-resume at a stage boundary)."""
+        from ..state import manifest
+
+        if self._source is None:
+            raise ValueError("with_pages/with_source must come first")
+        sf = self._sf_dir
+        ckpt_inputs = inputs if inputs is not None else (
+            [synth.table_path(sf, "pages")] if sf else [])
+        stage_name = f"ckpt_{len(self._stages)}"
+        prior_names = [s.name for s in self._stages]
+
+        def fn(ds):
+            # `ds` is the lazily-chained prefix; checkpoint_stage either
+            # executes+persists it or (manifest hit) never runs it at all
+            return manifest.checkpoint_stage(
+                lambda: ds, out_dir, stage=stage_name, inputs=ckpt_inputs,
+                params={"stages": prior_names},
+                partition_col=partition_col)
+
+        self._stages.append(PipelineStage(
+            stage_name, fn, f"checkpoint -> {out_dir}"))
+        return self
+
     def with_export(self, out_dir: str, fmt: str = "parquet") \
             -> "PipelineBuilder":
         self._export = (out_dir, fmt)

