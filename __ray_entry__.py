@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custom_pois": sp.custom_pois_q,
         "zone_centroids": sp.zone_centroids_q,
         "zone_neighbors": sp.zone_neighbors_q,
+        "tract_semijoin": sp.tract_semijoin_q,
+        "zone_kind_stats": sp.zone_kind_stats_q,
         # --- relational wide ops (groupby/join/sort/limit/window)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -60,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_by_value": rel.top_events_by_value,
         "nation_rollup": rel.nation_rollup,
         "lang_counts": rel.lang_counts,
+        "union_all_docs": rel.union_all_docs,
+        "events_sliding": rel.events_sliding,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -101,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "custom_pois": sp.custom_pois_sql(d),
         "zone_centroids": sp.zone_centroids_sql(d),
         "zone_neighbors": sp.zone_neighbors_sql(d),
+        "tract_semijoin": sp.tract_semijoin_sql(d),
+        "zone_kind_stats": sp.zone_kind_stats_sql(d),
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
@@ -108,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "top_events_by_value": rel.TOP_EVENTS_SQL,
         "nation_rollup": rel.NATION_ROLLUP_SQL,
         "lang_counts": rel.LANG_COUNTS_SQL,
+        "union_all_docs": rel.UNION_ALL_SQL,
+        "events_sliding": rel.EVENTS_SLIDING_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),

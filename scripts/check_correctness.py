@@ -99,7 +99,9 @@ def main():
                      ("scrub_demographics", sp.scrub_demographics_sql),
                      ("custom_pois", sp.custom_pois_sql),
                      ("zone_centroids", sp.zone_centroids_sql),
-                     ("zone_neighbors", sp.zone_neighbors_sql)):
+                     ("zone_neighbors", sp.zone_neighbors_sql),
+                     ("tract_semijoin", sp.tract_semijoin_sql),
+                     ("zone_kind_stats", sp.zone_kind_stats_sql)):
         oracles[name] = fn(d)
 
     con = duckdb.connect()

@@ -1,0 +1,104 @@
+"""Bulk CRS transforms (reference M8), from scratch and vectorized.
+
+The reference round-trips through pyproj Transformers built per engine
+(distance/engine.py:111-151, EPSG:4326 <-> 5070; TIGER queries use
+EPSG:3857, spatial_block_group_service.py:79-81). No pyproj exists
+here; the engine implements the projections it actually uses:
+
+- Web Mercator (EPSG:3857) forward/inverse — exact closed forms.
+- Sinusoidal (the equal-area working projection of tiles.py).
+- An Albers-style equal-area conic (EPSG:5070 parameters, spherical
+  form) for metric distance work — spherical rather than ellipsoidal
+  (documented delta: <0.5% at CONUS latitudes, fine for comparative
+  distances; the oracle-checked distance ops use haversine directly).
+
+All functions are numpy-vectorized, stateless, and safe to call inside
+``map_batches`` (per-actor "transformer" construction is unnecessary —
+there is no state to build).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_R = 6378137.0  # WGS84 semi-major (Web Mercator sphere)
+
+
+def to_web_mercator(lat, lon):
+    """EPSG:4326 degrees -> EPSG:3857 meters (x, y)."""
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.051128, 85.051128)
+    lon = np.asarray(lon, dtype=np.float64)
+    x = _R * np.radians(lon)
+    y = _R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def from_web_mercator(x, y):
+    """EPSG:3857 meters -> EPSG:4326 degrees (lat, lon)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _R)) - np.pi / 2.0)
+    return lat, lon
+
+
+# Albers equal-area conic, EPSG:5070 parameters, spherical form
+_A_LAT1, _A_LAT2 = np.radians(29.5), np.radians(45.5)
+_A_LAT0, _A_LON0 = np.radians(23.0), np.radians(-96.0)
+_A_N = (np.sin(_A_LAT1) + np.sin(_A_LAT2)) / 2.0
+_A_C = np.cos(_A_LAT1) ** 2 + 2.0 * _A_N * np.sin(_A_LAT1)
+_A_RHO0 = _R * np.sqrt(_A_C - 2.0 * _A_N * np.sin(_A_LAT0)) / _A_N
+
+
+def to_albers(lat, lon):
+    """EPSG:4326 degrees -> Albers (EPSG:5070-parameter, spherical)
+    meters. Equal-area: right for zonal densities and comparative
+    distances (the reference's distance CRS, distance/engine.py:39-50)."""
+    la = np.radians(np.asarray(lat, dtype=np.float64))
+    lo = np.radians(np.asarray(lon, dtype=np.float64))
+    rho = _R * np.sqrt(np.maximum(_A_C - 2.0 * _A_N * np.sin(la), 0.0)) / _A_N
+    theta = _A_N * (lo - _A_LON0)
+    return rho * np.sin(theta), _A_RHO0 - rho * np.cos(theta)
+
+
+def from_albers(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, _A_RHO0 - y)
+    theta = np.arctan2(x, _A_RHO0 - y)
+    lat = np.arcsin(np.clip((_A_C - (rho * _A_N / _R) ** 2) / (2.0 * _A_N),
+                            -1.0, 1.0))
+    lon = _A_LON0 + theta / _A_N
+    return np.degrees(lat), np.degrees(lon)
+
+
+def transform_batch(batch, src: str, dst: str, lat_col="lat", lon_col="lon",
+                    x_col="x", y_col="y"):
+    """map_batches-ready transform between named CRSs.
+
+    src/dst in {"wgs84", "webmercator", "albers"}; wgs84 input uses
+    lat_col/lon_col, projected input uses x_col/y_col.
+    """
+    import pyarrow as pa
+
+    if src == "wgs84":
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        if dst == "webmercator":
+            x, y = to_web_mercator(lat, lon)
+        elif dst == "albers":
+            x, y = to_albers(lat, lon)
+        else:
+            raise ValueError(f"unsupported dst {dst}")
+        batch = batch.append_column(x_col, pa.array(x))
+        return batch.append_column(y_col, pa.array(y))
+    x = batch[x_col].to_numpy(zero_copy_only=False)
+    y = batch[y_col].to_numpy(zero_copy_only=False)
+    if src == "webmercator":
+        lat, lon = from_web_mercator(x, y)
+    elif src == "albers":
+        lat, lon = from_albers(x, y)
+    else:
+        raise ValueError(f"unsupported src {src}")
+    batch = batch.append_column(lat_col, pa.array(lat))
+    return batch.append_column(lon_col, pa.array(lon))

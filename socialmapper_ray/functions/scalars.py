@@ -53,3 +53,45 @@ def slugify(arr: pa.ChunkedArray | pa.Array):
     out = pc.replace_substring(out, " ", "_")
     out = pc.replace_substring(out, "-", "_")
     return out
+
+
+# Hardcoded per-state bboxes in the reference (M3,
+# query/__init__.py:222-246); here a deterministic bbox per synthetic
+# state derived from its fips ordinal (same shape of lookup).
+def state_bbox(state_fips: str) -> tuple[float, float, float, float]:
+    s = int(state_fips)
+    lat0 = 25.0 + (s % 10) * 2.4
+    lon0 = -124.0 + (s // 10) * 11.0
+    return (lat0, lat0 + 2.4, lon0, lon0 + 11.0)
+
+
+def filter_state_bounds(tbl: pa.Table, state_fips: str,
+                        lat_col: str = "lat", lon_col: str = "lon"):
+    """Drop rows outside the state's bbox (M3 state-bounds filter)."""
+    lat_min, lat_max, lon_min, lon_max = state_bbox(state_fips)
+    m = pc.and_(
+        pc.and_(pc.greater_equal(tbl[lat_col], lat_min),
+                pc.less_equal(tbl[lat_col], lat_max)),
+        pc.and_(pc.greater_equal(tbl[lon_col], lon_min),
+                pc.less_equal(tbl[lon_col], lon_max)))
+    return tbl.filter(m)
+
+
+def optimize_dtypes(df, category_threshold: float = 0.5):
+    """M10 dtype optimizer (reference streaming.py:432-456,
+    geoparquet.py:75-97): downcast int64/float64, object->category when
+    under the uniqueness threshold. pandas in/out for map_batches."""
+    import numpy as np
+    import pandas as pd
+
+    out = df.copy()
+    for c in out.columns:
+        s = out[c]
+        if s.dtype == np.int64:
+            out[c] = pd.to_numeric(s, downcast="integer")
+        elif s.dtype == np.float64:
+            out[c] = pd.to_numeric(s, downcast="float")
+        elif s.dtype == object and len(s) and \
+                s.nunique(dropna=True) / max(len(s), 1) < category_threshold:
+            out[c] = s.astype("category")
+    return out

@@ -328,6 +328,76 @@ GROUP BY r.r_name, n.n_name
 """
 
 
+def union_all_docs(sf_dir: str):
+    """U1 union/concat (reference pd.concat of per-county frames,
+    block_group_service.py:140-144): two filtered views of documents
+    unioned without a shuffle."""
+    en = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .filter(expr="lang == 'en'")
+    fr = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .filter(expr="lang == 'fr'")
+    u = en.union(fr)
+    return u.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "lang": df["lang"],
+            "n_chars": df["n_chars"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+UNION_ALL_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'fr'
+"""
+
+
+def events_sliding(sf_dir: str, window_min: int = 30, slide_min: int = 10):
+    """Sliding-window counts per event type (window 30 min, slide 10):
+    each event explodes to the windows covering it (flat-map) and a
+    grouped count follows — the §2.9 window pattern without an
+    event-time engine."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    n_win = window_min // slide_min
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{slide_min}min")
+        parts = []
+        for i in range(n_win):
+            parts.append(pd.DataFrame({
+                "event_type": df["event_type"],
+                "window_start": base - pd.Timedelta(minutes=slide_min * i),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start"], sort=False) \
+                 .size().reset_index(name="n")
+
+    agg = ds.map_batches(explode, batch_format="pandas") \
+        .map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(lambda df: df.groupby(
+            ["event_type", "window_start"], sort=False).sum().reset_index(),
+            batch_format="pandas", batch_size=None)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_start": df["window_start"],
+            "n_events": df["n"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       make_timestamp(600000000 *
+         (CAST(floor(epoch(ts) / 600) AS BIGINT) - u.w)) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, (SELECT unnest([0, 1, 2]) AS w) u
+GROUP BY 1, 2
+"""
+
+
 def lang_counts(sf_dir: str):
     """Distinct + count per lang (A7 sorted-distinct flavour)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang"])

@@ -374,3 +374,88 @@ def zone_neighbors_sql(d: str) -> str:
       ON substr(z.zone_id, 1, 2) = n.state_fips
     GROUP BY z.zone_id
     """
+
+
+# ---------------------------------------------------------------------------
+# J7: tract-prefix semi-join (broadcast key-set filter)
+# ---------------------------------------------------------------------------
+
+_TRACT_PREFIX_COUNT = 12
+
+
+def _tract_prefixes(d: str) -> list[str]:
+    """Deterministic small tract set: the first N distinct 11-char
+    prefixes of the zone table (sorted)."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{d}/zones.parquet",
+                        columns=["zone_id"])["zone_id"].to_pylist()
+    return sorted({z[:11] for z in ids})[:_TRACT_PREFIX_COUNT]
+
+
+def tract_semijoin_q(sf_dir: str):
+    """Keep zones whose GEOID[:11] is in the broadcast tract set
+    (reference tiger/client.py:189-194)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = synth.ensure_synth(sf_dir)
+    tracts = pa.array(_tract_prefixes(d))
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["zone_id", "kind"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(t["zone_id"], 0, 11)
+        return t.filter(pc.is_in(prefix, value_set=tracts))
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
+def tract_semijoin_sql(d: str) -> str:
+    tracts = ", ".join(f"'{t}'" for t in _tract_prefixes(d))
+    return f"""
+    SELECT zone_id, kind FROM read_parquet('{d}/zones.parquet')
+    WHERE substr(zone_id, 1, 11) IN ({tracts})
+    """
+
+
+# ---------------------------------------------------------------------------
+# A4: per-kind cluster metrics (Count/Mean/Max/Min aggregates)
+# ---------------------------------------------------------------------------
+
+def zone_kind_stats_q(sf_dir: str):
+    """Per-kind zone stats (reference clustering.py:122-137 cluster
+    metrics): the canonical Count/Mean/Max/Min grouped aggregate."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    synth.ensure_synth(sf_dir)
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["kind", "n_vertices"])
+    agg = zones.groupby("kind").aggregate(
+        Count(alias_name="n_zones"),
+        Mean("n_vertices", alias_name="avg_v"),
+        Max("n_vertices", alias_name="max_vertices"),
+        Min("n_vertices", alias_name="min_vertices"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "kind": df["kind"],
+            "n_zones": df["n_zones"].astype(np.int64),
+            # integer-ppm mean: exact division of exact ints both sides
+            "avg_vertices_ppm": np.floor(df["avg_v"] * 1e6).astype(np.int64),
+            "max_vertices": df["max_vertices"].astype(np.int64),
+            "min_vertices": df["min_vertices"].astype(np.int64),
+        })
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def zone_kind_stats_sql(d: str) -> str:
+    return f"""
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(floor(1e6 * SUM(n_vertices) / COUNT(*)) AS BIGINT)
+             AS avg_vertices_ppm,
+           CAST(MAX(n_vertices) AS BIGINT) AS max_vertices,
+           CAST(MIN(n_vertices) AS BIGINT) AS min_vertices
+    FROM read_parquet('{d}/zones.parquet') GROUP BY kind
+    """

@@ -71,6 +71,38 @@ def zone_hulls(ds, wkb_col: str = "wkb"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def valid_polygon_mask(blobs) -> np.ndarray:
+    """U4 valid-geometry filter (reference block_group_service.py:231-236
+    drops null/invalid geometries): a polygon is valid when it decodes,
+    has >= 3 distinct vertices and nonzero shoelace area."""
+    out = np.zeros(len(blobs), dtype=bool)
+    for i, blob in enumerate(blobs):
+        if blob is None:
+            continue
+        try:
+            kind, coords = geom.wkb_decode(bytes(blob))
+        except Exception:  # truncated/garbage WKB -> invalid
+            continue
+        if kind != "polygon":
+            continue
+        c = coords[:-1] if (len(coords) > 1
+                            and np.array_equal(coords[0], coords[-1])) \
+            else coords
+        if len(np.unique(c, axis=0)) < 3:
+            continue
+        x, y = c[:, 0], c[:, 1]
+        area2 = (x * np.roll(y, -1) - np.roll(x, -1) * y).sum()
+        out[i] = abs(area2) > 1e-300
+    return out
+
+
+def filter_valid_zones(ds, wkb_col: str = "wkb"):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df[valid_polygon_mask(df[wkb_col].tolist())]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def hull_union(ds, wkb_col: str = "wkb"):
     """-> 1-row Dataset holding the convex hull (WKB) of all polygons.
 
