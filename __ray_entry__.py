@@ -64,11 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": rel.lang_counts,
         "union_all_docs": rel.union_all_docs,
         "events_sliding": rel.events_sliding,
+        "order_lineitem_join": rel.order_lineitem_join,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
         "media_features": tp.media_features_q,
         "dedup_minhash_pairs": tp.minhash_pairs_q,
+        "dedup_minhash_keep": tp.dedup_minhash_keep_q,
         "dedup_simhash_pairs": tp.simhash_pairs_q,
         "doc_fingerprint": tp.fingerprint_q,
         "embedding_neardup": tp.embedding_neardup_q,
@@ -116,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": rel.LANG_COUNTS_SQL,
         "union_all_docs": rel.UNION_ALL_SQL,
         "events_sliding": rel.EVENTS_SLIDING_SQL,
+        "order_lineitem_join": rel.ORDER_LINEITEM_JOIN_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),

@@ -328,6 +328,47 @@ GROUP BY r.r_name, n.n_name
 """
 
 
+def order_lineitem_join(sf_dir: str):
+    """Both-sides-large partitioned hash join (orders x lineitem),
+    aggregated per order priority. Neither side broadcasts: both are
+    bucketed by orderkey hash and joined per bucket
+    (stages/hash_join.py)."""
+    from ..stages.hash_join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    joined = hash_join(
+        orders, li, left_on="o_orderkey", right_on="l_orderkey",
+        left_cols=["o_orderkey", "o_orderpriority"],
+        right_cols=["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(q=df["l_quantity"].round().astype(np.int64))
+        return df.groupby("o_orderpriority", sort=False).agg(
+            n=("q", "size"), sq=("q", "sum")).reset_index()
+
+    agg = joined.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(lambda df: df.groupby(
+            "o_orderpriority", sort=False).sum().reset_index(),
+            batch_format="pandas", batch_size=None)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n_lineitems": df["n"].astype(np.int64),
+            "sum_qty": df["sq"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+ORDER_LINEITEM_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def union_all_docs(sf_dir: str):
     """U1 union/concat (reference pd.concat of per-county frames,
     block_group_service.py:140-144): two filtered views of documents

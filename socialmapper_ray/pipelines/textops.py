@@ -74,6 +74,16 @@ def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def dedup_minhash_keep_q(sf_dir: str, threshold: float = 0.35):
+    """Full near-dup dedup decision table: every doc_id with its
+    connected component and keep flag (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_mod.minhash_dedup_keep(ds, threshold=threshold)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["component"] = out["component"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def simhash_pairs_q(sf_dir: str, max_hamming: int = 10):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup_mod.simhash_pairs(ds, max_hamming=max_hamming)

@@ -239,6 +239,62 @@ def verify_pairs(pairs_df: pd.DataFrame, texts_by_id: dict,
 
 
 # ---------------------------------------------------------------------------
+# Connected components + full near-dup dedup
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs_df: pd.DataFrame, nodes: np.ndarray,
+                         max_rounds: int = 16):
+    """(a, b) edge list + node universe -> DataFrame(node, component).
+
+    Min-label propagation: each round every node takes the min label in
+    its neighbourhood; converges in O(log diameter) rounds. Implemented
+    in pandas over the edge list (candidate near-dup graphs are sparse
+    and tiny relative to the corpus — they are the OUTPUT of LSH
+    blocking); the same loop expressed with stages/hash_join.py +
+    groupby(Min) runs distributed when the graph outgrows one block
+    (documented scale path).
+    """
+    labels = pd.Series(nodes, index=nodes, dtype=np.int64)
+    if len(pairs_df) == 0:
+        return pd.DataFrame({"node": nodes, "component": nodes})
+    e = pd.concat([
+        pairs_df.rename(columns={"a": "u", "b": "v"})[["u", "v"]],
+        pairs_df.rename(columns={"a": "v", "b": "u"})[["u", "v"]],
+    ], ignore_index=True)
+    for _ in range(max_rounds):
+        neigh = e.assign(lbl=labels.reindex(e["v"]).to_numpy()) \
+                 .groupby("u")["lbl"].min()
+        new = labels.copy()
+        upd = neigh[neigh < labels.reindex(neigh.index)]
+        if upd.empty:
+            break
+        new.loc[upd.index] = upd
+        labels = new
+    return pd.DataFrame({"node": labels.index.to_numpy(),
+                         "component": labels.to_numpy()})
+
+
+def minhash_dedup_keep(ds, id_col: str = "doc_id", text_col: str = "text",
+                       threshold: float = 0.5):
+    """Full near-dup dedup: LSH candidates -> exact-Jaccard verify ->
+    connected components -> keep min id per component.
+
+    Returns a pandas DataFrame (doc_id, component, keep) covering every
+    document (singletons keep themselves).
+    """
+    import pyarrow.parquet as pq  # noqa: F401 (documentation symmetry)
+
+    docs = ds.select_columns([id_col, text_col]).to_pandas()
+    cands = candidate_pairs(ds, id_col, text_col).to_pandas()
+    texts = dict(zip(docs[id_col], docs[text_col]))
+    verified = verify_pairs(cands, texts, threshold=threshold)
+    comp = connected_components(verified, docs[id_col].to_numpy())
+    keep_of_comp = comp.groupby("component")["node"].min()
+    comp["keep"] = comp["node"] == comp["component"].map(keep_of_comp)
+    return comp.rename(columns={"node": id_col})
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

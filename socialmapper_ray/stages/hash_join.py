@@ -1,0 +1,70 @@
+"""Explicit partitioned hash join — the both-sides-large join.
+
+The engine's other joins broadcast the small side (enrich, q3, J6).
+When BOTH sides are large the portable Ray Data pattern (per the Ray
+guide; ``Dataset.join`` exists in recent releases but this form makes
+the shuffle explicit and versionable) is:
+
+1. add ``bucket = hash(key) % B`` to both sides (one vectorized
+   map_batches each) and pad each side to the union schema so the
+   tagged sides can union without a shuffle,
+2. ``groupby(bucket).map_groups``: inside each bucket split by tag and
+   pandas-merge.
+
+One all-to-all exchange total (the groupby), hash-partitioned on the
+bucket — exactly the exchange a distributed hash join needs. B chosen
+so a bucket's two sides fit a worker's heap; skew handling = salt hot
+keys into sub-buckets before step 1 (same mechanism as
+dedup.exact_dedup_salted).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    k = keys.astype(np.int64)
+    return ((k * np.int64(0x9E3779B1)) % np.int64(2 ** 31)
+            % np.int64(n_buckets)).astype(np.int64)
+
+
+def hash_join(left_ds, right_ds, left_on: str, right_on: str,
+              left_cols: list[str], right_cols: list[str],
+              n_buckets: int = 16, how: str = "inner"):
+    """Partitioned hash join of two Datasets on int64 keys.
+
+    left_cols / right_cols: the output columns contributed by each side
+    (must be disjoint apart from the join keys). Returns the merged
+    Dataset with columns left_cols + right_cols (minus right_on if it
+    duplicates left_on).
+    """
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def prep(side: str, cols: list[str], key: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: df[c] if c in cols else pd.NA
+                                for c in all_cols})
+            out["__bucket"] = _bucket_of(df[key].to_numpy(), n_buckets)
+            out["__side"] = side
+            return out
+
+        return fn
+
+    lt = left_ds.map_batches(prep("l", left_cols, left_on),
+                             batch_format="pandas")
+    rt = right_ds.map_batches(prep("r", right_cols, right_on),
+                              batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", left_cols]
+        r = g.loc[g["__side"] == "r", right_cols]
+        if l.empty or (r.empty and how == "inner"):
+            return pd.DataFrame(columns=all_cols)
+        merged = l.merge(r, how=how, left_on=left_on, right_on=right_on)
+        return merged[[c for c in all_cols if c in merged.columns]]
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
