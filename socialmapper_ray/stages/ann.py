@@ -83,6 +83,9 @@ def final_topk(partials_ds, k: int):
 
 def ann_topk(emb_ds, queries_ref, k: int = 10, concurrency=4,
              batch_size: int = 4096):
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
     partials = emb_ds.map_batches(
         PartialTopK,
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k),
@@ -175,6 +178,9 @@ class LSHPartialTopK:
 
 def ann_topk_lsh(emb_ds, queries_ref, dim: int, k: int = 10, concurrency=4,
                  batch_size: int = 4096):
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
     partials = emb_ds.map_batches(
         LSHPartialTopK,
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, dim=dim),

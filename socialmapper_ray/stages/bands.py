@@ -71,6 +71,9 @@ class BandRouter:
 
 def assign_bands(points_ds, centers_ref, keep_cols=("url",), concurrency=4,
                  batch_size: int = 4096):
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
     return points_ds.map_batches(
         BandRouter,
         fn_constructor_kwargs=dict(centers_ref=centers_ref,
@@ -80,3 +83,39 @@ def assign_bands(points_ds, centers_ref, keep_cols=("url",), concurrency=4,
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+def band_polygons(centers_df, n_vertices: int = 32):
+    """Travel-time band POLYGONS per facility (the reference's isochrone
+    artifact, K5: per-run polygon dump, isochrone/__init__.py:361-398).
+
+    Each (center, band) becomes an n-gon approximating the band's reach
+    circle at the center's mode speed; lat/lon radii account for the
+    cos(lat) east-west compression. The authoritative band-assignment
+    semantics stay distance-based (BandRouter, SQL-checked); these
+    polygons are the exportable geometry artifact.
+
+    centers_df: pandas with center_id, lat, lon, travel_mode.
+    Returns pandas with center_id, travel_mode, band, wkb.
+    """
+    import pandas as pd
+
+    from .. import geom
+
+    rows = {"center_id": [], "travel_mode": [], "band": [], "wkb": []}
+    km_per_deg = np.pi / 180.0 * geom.EARTH_RADIUS_KM
+    ang = np.linspace(0.0, 2.0 * np.pi, n_vertices, endpoint=False)
+    for r in centers_df.itertuples(index=False):
+        speed = MODE_SPEED_KM_MIN[r.travel_mode]
+        coslat = np.cos(np.radians(r.lat))
+        for t in BAND_MINUTES:
+            radius_km = speed * t
+            dlat = radius_km / km_per_deg
+            dlon = radius_km / (km_per_deg * max(coslat, 1e-9))
+            poly = np.column_stack([r.lon + dlon * np.cos(ang),
+                                    r.lat + dlat * np.sin(ang)])
+            rows["center_id"].append(r.center_id)
+            rows["travel_mode"].append(r.travel_mode)
+            rows["band"].append(t)
+            rows["wkb"].append(geom.wkb_polygon(poly))
+    return pd.DataFrame(rows)

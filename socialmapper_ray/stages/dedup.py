@@ -17,6 +17,13 @@ a 100 TB text pipeline needs:
 All signatures are pure functions of the text (deterministic at any
 parallelism). Pair emission dedupes via the shuffle itself
 (groupby(pair)), not driver state.
+
+Published foundations (public literature): MinHash resemblance
+estimation — Broder, "On the resemblance and containment of documents"
+(SEQUENCES 1997); banded LSH — Leskovec/Rajaraman/Ullman, "Mining of
+Massive Datasets" ch. 3; SimHash — Charikar, "Similarity estimation
+techniques from rounding algorithms" (STOC 2002) with the
+pigeonhole-block hamming search of Manku/Jain/Das Sarma (WWW 2007).
 """
 
 from __future__ import annotations

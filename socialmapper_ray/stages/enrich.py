@@ -68,6 +68,9 @@ class Enricher:
 
 def enrich(ds, demo_ref, on: str = "zone_id", concurrency=2,
            batch_size: int = 8192):
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
     return ds.map_batches(Enricher,
                           fn_constructor_kwargs=dict(demo_ref=demo_ref, on=on),
                           batch_format="pandas", batch_size=batch_size,

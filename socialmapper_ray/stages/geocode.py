@@ -111,6 +111,9 @@ class GeocodeEngine:
 
 def geocode_addresses(ds, address_col: str = "address", concurrency=2,
                       batch_size: int = 2048):
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
     return ds.map_batches(
         GeocodeEngine,
         fn_constructor_kwargs=dict(address_col=address_col),

@@ -67,6 +67,9 @@ class NearestFacility:
 
 def knn_nearest(points_ds, centers_ref, keep_cols=("url",), concurrency=4,
                 batch_size: int = 4096, lat_col="lat", lon_col="lon"):
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
     return points_ds.map_batches(
         NearestFacility,
         fn_constructor_kwargs=dict(centers_ref=centers_ref,

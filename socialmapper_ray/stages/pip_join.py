@@ -77,6 +77,9 @@ def pip_join(points_ds, index_ref, keep_cols=("url",), concurrency=4,
              batch_size: int = 4096, num_cpus: float = 0.5,
              lat_col="lat", lon_col="lon"):
     """points x zones containment join -> Dataset of (keep_cols, zone_id)."""
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, num_cpus)
     return points_ds.map_batches(
         PIPJoiner,
         fn_constructor_kwargs=dict(index_ref=index_ref, keep_cols=keep_cols,
@@ -191,6 +194,9 @@ def pip_join_partitioned(points_ds, zones_path: str, part_res: int = 3,
     layout shards the dict by cell across placement groups — the probe
     code is unchanged. Verified equal to the broadcast join in tests.
     """
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
     buckets_ref = ray.put(bucket_zones_by_cell(zones_path, part_res))
     return points_ds.map_batches(
         PartitionedPIPJoiner,

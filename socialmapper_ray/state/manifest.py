@@ -88,3 +88,76 @@ def checkpoint_stage(ds_factory, out_dir: str, *, stage: str,
 def read_lineage(out_dir: str):
     p = os.path.join(out_dir, "lineage.parquet")
     return rd.read_parquet(p) if os.path.exists(p) else None
+
+
+# ---------------------------------------------------------------------------
+# Partition-level resumable writes
+# ---------------------------------------------------------------------------
+
+def _part_manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests")
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    d = _part_manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
+
+
+def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
+                                fp: str = "") -> dict:
+    """Write ``ds`` as one parquet directory per partition value, with a
+    per-partition manifest; a rerun skips partitions whose manifest
+    exists (north rule: "resume = anti-join manifest vs plan").
+
+    Returns {"written": [...], "skipped": [...]}. Semantics: the INPUT
+    still streams fully (Ray cannot prune upstream work by output
+    state); what resumes is the expensive write + any downstream
+    consumer, and crucially a killed run never leaves a partition that
+    is both present and unmarked — manifests are written after their
+    partition completes, so trusting manifests alone is safe.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    done = completed_partitions(out_dir)
+    os.makedirs(_part_manifest_dir(out_dir), exist_ok=True)
+
+    skipped: set[str] = set()
+    written: set[str] = set()
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        # group rows by partition value and append one file per batch
+        # into each partition dir (atomic rename per file)
+        import uuid
+
+        vals = batch[partition_col].to_pylist()
+        df = batch.to_pandas()
+        out_rows = {"partition": [], "rows": []}
+        for val, grp in df.groupby(partition_col, sort=False):
+            key = str(val)
+            if key in done:
+                continue
+            pdir = os.path.join(out_dir, f"{partition_col}={key}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
+            papq.write_table(pa.Table.from_pandas(grp, preserve_index=False),
+                             tmp, compression="snappy")
+            os.rename(tmp, tmp.replace("/.tmp-", "/part-"))
+            out_rows["partition"].append(key)
+            out_rows["rows"].append(len(grp))
+        return pa.table(out_rows)
+
+    stats = ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    if len(stats):
+        agg = stats.groupby("partition")["rows"].sum()
+        for key, n in agg.items():
+            with open(os.path.join(_part_manifest_dir(out_dir),
+                                   f"{key}.json"), "w") as f:
+                json.dump({"partition": key, "rows": int(n),
+                           "fingerprint": fp,
+                           "written_at": time.time()}, f)
+            written.add(key)
+    skipped = done
+    return {"written": sorted(written), "skipped": sorted(skipped)}

@@ -160,3 +160,30 @@ def test_dedup_first_rules(ray_session):
     assert out["dist"].tolist() == [1.0, 2.0]
     assert out["label"].tolist() == ["y", "q"]
     assert out["n_dupes"].tolist() == [2, 3]
+
+
+def test_band_polygons_artifact():
+    import pyarrow.parquet as pq
+
+    from socialmapper_ray import geom
+    from socialmapper_ray.sources import synth
+    from socialmapper_ray.stages import bands
+
+    centers = pq.read_table(
+        synth.table_path("/root/testdata/sf0.001", "band_centers")) \
+        .to_pandas().head(5)
+    polys = bands.band_polygons(centers)
+    assert len(polys) == 5 * len(bands.BAND_MINUTES)
+    # each ring encloses its center and scales with the band
+    for cid, grp in polys.groupby("center_id"):
+        c = centers[centers.center_id == cid].iloc[0]
+        widths = []
+        for _, row in grp.sort_values("band").iterrows():
+            _, coords = geom.wkb_decode(row.wkb)
+            ps = geom.PolygonSet([coords[:-1]])
+            inside = geom.points_in_polygons(
+                np.asarray([c.lon]), np.asarray([c.lat]), ps,
+                np.asarray([0]), np.asarray([0]))
+            assert inside[0]
+            widths.append(coords[:, 0].max() - coords[:, 0].min())
+        assert widths == sorted(widths)  # bigger band -> bigger ring

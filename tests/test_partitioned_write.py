@@ -1,0 +1,56 @@
+"""Partition-level resumable write tests (north rule: resume skips
+finished partitions)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+import ray.data as rd
+
+from socialmapper_ray.sources import synth
+from socialmapper_ray.state import manifest
+
+SF = "/root/testdata/sf0.001"
+OUT = "/tmp/smray_test_partwrite"
+
+
+@pytest.fixture(autouse=True)
+def clean():
+    shutil.rmtree(OUT, ignore_errors=True)
+    yield
+    shutil.rmtree(OUT, ignore_errors=True)
+
+
+def _zones():
+    return rd.read_parquet(synth.table_path(SF, "zones"),
+                           columns=["zone_id", "kind", "n_vertices"])
+
+
+def test_partitioned_write_and_resume(ray_session):
+    r1 = manifest.resumable_partitioned_write(_zones(), OUT, "kind")
+    assert sorted(r1["written"]) == ["blockgroup", "isochrone", "zcta"]
+    assert r1["skipped"] == []
+
+    # full rerun: everything skipped, nothing rewritten
+    r2 = manifest.resumable_partitioned_write(_zones(), OUT, "kind")
+    assert r2["written"] == []
+    assert sorted(r2["skipped"]) == ["blockgroup", "isochrone", "zcta"]
+
+    # losing one partition manifest -> only that partition is rewritten
+    os.remove(os.path.join(OUT, "_manifests", "zcta.json"))
+    r3 = manifest.resumable_partitioned_write(_zones(), OUT, "kind")
+    assert r3["written"] == ["zcta"]
+    assert sorted(r3["skipped"]) == ["blockgroup", "isochrone"]
+
+
+def test_partitioned_output_readable(ray_session):
+    manifest.resumable_partitioned_write(_zones(), OUT, "kind")
+    back = rd.read_parquet(OUT).to_pandas()
+    want = _zones().to_pandas()
+    assert len(back) == len(want)
+    assert set(back["zone_id"]) == set(want["zone_id"])
+    # hive-style partition dirs exist
+    assert os.path.isdir(os.path.join(OUT, "kind=zcta"))

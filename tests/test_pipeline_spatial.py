@@ -90,6 +90,27 @@ def test_flagship_entry(synth_dir, ray_session):
     assert (df["n_pois"] >= 1).all()
 
 
+def test_flagship_parallelism_invariance(synth_dir, ray_session):
+    """North-rule determinism: the complete pipeline yields identical
+    results at different parallelism/batch configurations."""
+    from socialmapper_ray.pipelines import flagship
+
+    # keep pool sizes small: the test session has 4 CPUs and oversized
+    # actor pools starve the pipeline (see memory: actor starvation)
+    a = flagship.flagship(SF, concurrency=2).to_pandas() \
+        .sort_values("zone_id").reset_index(drop=True)
+    b = flagship.flagship(SF, concurrency=3).to_pandas() \
+        .sort_values("zone_id").reset_index(drop=True)
+    assert a.columns.tolist() == b.columns.tolist()
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f":
+            assert np.array_equal(av.to_numpy(), bv.to_numpy(),
+                                  equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+
+
 def test_zonal_agg_equals_pandas(synth_dir, ray_session):
     from socialmapper_ray.pipelines import spatial
 
