@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial engine (SURVEY.md §2: S2/S8, J1-J5, A2/A8, M4/M12, ST2/ST3)
         "extract_pois": sp.extract_pois_q,
         "pip_join": sp.pip_join_q,
+        "pip_join_concave": sp.pip_join_concave_q,
         "zonal_agg": sp.zonal_agg_q,
         "knn_nearest": sp.knn_q,
         "band_assign": sp.bands_q,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_pois": sp.extract_pois_sql(d),
         "pip_join": sp.pip_join_sql(d),
+        "pip_join_concave": sp.pip_join_concave_sql(d),
         "zonal_agg": sp.zonal_agg_sql(d),
         "knn_nearest": sp.knn_sql(d),
         "band_assign": sp.bands_sql(d),

@@ -91,6 +91,43 @@ def pip_join_sql(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# PIP join against NON-convex (star) zones — general crossing-number path
+# ---------------------------------------------------------------------------
+
+def pip_join_concave_q(sf_dir: str):
+    """Same engine code as pip_join but probing the star-zone table:
+    exercises concave containment end-to-end. Oracle: crossing-number
+    PARITY in SQL (identical IEEE expression per edge)."""
+    ds = tile_mod.tile_points(_extracted_valid(sf_dir))
+    index_ref = pip_mod.build_zone_index(
+        synth.table_path(sf_dir, "zones_star"))
+    return pip_mod.pip_join(ds, index_ref, keep_cols=("url",))
+
+
+def pip_join_concave_sql(d: str) -> str:
+    return f"""
+    WITH cand AS (
+      SELECT p.url, p.lat, p.lon, z.zone_id
+      FROM read_parquet('{d}/pois_truth.parquet') p
+      JOIN read_parquet('{d}/zones_star.parquet') z
+        ON p.lon >= z.lon_min AND p.lon <= z.lon_max
+       AND p.lat >= z.lat_min AND p.lat <= z.lat_max
+      WHERE p.has_geo)
+    SELECT url, zone_id FROM (
+      SELECT c.url, c.zone_id,
+        SUM(CASE WHEN ((e.y1 > c.lat) <> (e.y2 > c.lat))
+              AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1)
+                                   / (e.y2 - e.y1)
+            THEN 1 ELSE 0 END) AS crossings
+      FROM cand c
+      JOIN read_parquet('{d}/zone_star_edges.parquet') e
+        ON c.zone_id = e.zone_id
+      GROUP BY c.url, c.zone_id)
+    WHERE crossings % 2 = 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # Zonal aggregation
 # ---------------------------------------------------------------------------
 

@@ -38,6 +38,10 @@ from .. import geom
 
 SYNTH_ROOT = "/tmp/smray_synth"
 
+#: bump when generator output changes shape/content — stale cached
+#: worlds under /tmp regenerate instead of poisoning oracle runs
+SYNTH_VERSION = "4"
+
 # World bbox (CONUS-ish, mid-latitudes)
 LAT_MIN, LAT_MAX = 25.0, 49.0
 LON_MIN, LON_MAX = -124.0, -67.0
@@ -222,6 +226,64 @@ def build_zones(n_zones: int):
     return zones, edges
 
 
+def star_polygon(lat: float, lon: float, r_outer: float, r_inner: float,
+                 points: int, phase: float = 0.0) -> np.ndarray:
+    """Simple NON-convex star polygon (2*points vertices, alternating
+    radii), CCW. Exercises the general crossing-number PIP path that
+    convex zones cannot."""
+    k = 2 * points
+    ang = phase + np.linspace(0.0, 2.0 * np.pi, k, endpoint=False)
+    radii = np.where(np.arange(k) % 2 == 0, r_outer, r_inner)
+    return np.column_stack([lon + radii * np.cos(ang),
+                            lat + radii * np.sin(ang)])
+
+
+def build_zones_star(n_zones: int):
+    """Non-convex star zones + closed edge table (for the crossing-
+    parity SQL oracle)."""
+    z = np.arange(n_zones, dtype=np.uint64)
+    clat = LAT_MIN + 2.0 + _hash_unit(z, 311) * (LAT_MAX - LAT_MIN - 4.0)
+    clon = LON_MIN + 2.0 + _hash_unit(z, 322) * (LON_MAX - LON_MIN - 4.0)
+    r_out = 0.5 + _hash_unit(z, 333) * 1.5
+    r_in = r_out * (0.3 + 0.3 * _hash_unit(z, 344))
+    pts = 5 + (splitmix64(z ^ _U(355)) % _U(5)).astype(np.int64)  # 5..9
+    phase = _hash_unit(z, 366) * 2.0 * np.pi
+
+    rows = {k: [] for k in ("zone_id", "wkb", "lon_min", "lat_min",
+                            "lon_max", "lat_max")}
+    e_zone, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], []
+    for k in range(n_zones):
+        poly = star_polygon(float(clat[k]), float(clon[k]), float(r_out[k]),
+                            float(r_in[k]), int(pts[k]), float(phase[k]))
+        gid = f"S{k:011d}"
+        rows["zone_id"].append(gid)
+        rows["wkb"].append(geom.wkb_polygon(poly))
+        rows["lon_min"].append(poly[:, 0].min())
+        rows["lat_min"].append(poly[:, 1].min())
+        rows["lon_max"].append(poly[:, 0].max())
+        rows["lat_max"].append(poly[:, 1].max())
+        nxt = np.roll(np.arange(len(poly)), -1)
+        for i, j in zip(range(len(poly)), nxt):
+            e_zone.append(gid)
+            e_x1.append(poly[i, 0]); e_y1.append(poly[i, 1])
+            e_x2.append(poly[j, 0]); e_y2.append(poly[j, 1])
+
+    zones = pa.table({
+        "zone_id": pa.array(rows["zone_id"]),
+        "wkb": pa.array(rows["wkb"], pa.binary()),
+        "lon_min": pa.array(rows["lon_min"], pa.float64()),
+        "lat_min": pa.array(rows["lat_min"], pa.float64()),
+        "lon_max": pa.array(rows["lon_max"], pa.float64()),
+        "lat_max": pa.array(rows["lat_max"], pa.float64()),
+    })
+    edges = pa.table({
+        "zone_id": pa.array(e_zone),
+        "x1": pa.array(e_x1, pa.float64()), "y1": pa.array(e_y1, pa.float64()),
+        "x2": pa.array(e_x2, pa.float64()), "y2": pa.array(e_y2, pa.float64()),
+    })
+    return zones, edges
+
+
 def build_demographics(zone_ids: list[str]) -> pa.Table:
     """Long-form census table (geoid, variable_code, value, year, dataset)
     mirroring CensusDataPoint (reference census/domain/entities.py:52-66),
@@ -272,7 +334,7 @@ def build_band_centers(n_centers: int) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 TABLES = ("pages", "pois_truth", "zones", "zone_edges", "demographics",
-          "band_centers")
+          "band_centers", "zones_star", "zone_star_edges")
 
 
 def build_custom_coords_csv(truth: pa.Table, n: int = 200) -> str:
@@ -331,7 +393,15 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
     out = synth_dir(sf_dir, replicate)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
-        return out
+        try:
+            with open(marker) as f:
+                if f.read().strip() == SYNTH_VERSION:
+                    return out
+        except OSError:
+            pass
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)  # stale version: rebuild
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.num_rows
     n_zones = max(40, n_docs // 6)
@@ -351,12 +421,14 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
         pages = pa.concat_tables(p_parts)
         truth = pa.concat_tables(t_parts)
     zones, edges = build_zones(n_zones)
+    zones_star, star_edges = build_zones_star(max(20, n_zones // 4))
     demo = build_demographics(zones["zone_id"].to_pylist())
     centers = build_band_centers(n_centers)
 
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    for name, tbl in zip(TABLES, (pages, truth, zones, edges, demo, centers)):
+    for name, tbl in zip(TABLES, (pages, truth, zones, edges, demo, centers,
+                                  zones_star, star_edges)):
         if name == "pages":
             # pages is the big streamed input: write a DIRECTORY of
             # files so the Ray parquet reader plans one read task per
@@ -383,7 +455,7 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
                    os.path.join(tmp, "state_neighbors.parquet"),
                    compression="snappy")
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
-        f.write("ok\n")
+        f.write(SYNTH_VERSION + "\n")
     import shutil
 
     try:

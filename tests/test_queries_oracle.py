@@ -25,6 +25,7 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
     oracles = dict(entrymod.oracle_sql())
     for name, fn in (("extract_pois", sp.extract_pois_sql),
                      ("pip_join", sp.pip_join_sql),
+                     ("pip_join_concave", sp.pip_join_concave_sql),
                      ("zonal_agg", sp.zonal_agg_sql),
                      ("knn_nearest", sp.knn_sql),
                      ("band_assign", sp.bands_sql),
