@@ -17,7 +17,7 @@ prefix when asked, which Ray Data serves from its plan, not from RAM.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 from ..sources import sinks, synth

@@ -10,8 +10,6 @@ materialisations (contrast orchestrator.py:283-339 stage_outputs dict).
 
 from __future__ import annotations
 
-import os
-
 import ray.data as rd
 
 from ..sources import synth

@@ -34,7 +34,6 @@ import zlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from ray.data.aggregate import Count, Min, Sum
 
@@ -328,8 +327,6 @@ def minhash_dedup_keep(ds, id_col: str = "doc_id", text_col: str = "text",
     Returns a pandas DataFrame (doc_id, component, keep) covering every
     document (singletons keep themselves).
     """
-    import pyarrow.parquet as pq  # noqa: F401 (documentation symmetry)
-
     docs = ds.select_columns([id_col, text_col]).to_pandas()
     cands = candidate_pairs(ds, id_col, text_col).to_pandas()
     texts = dict(zip(docs[id_col], docs[text_col]))

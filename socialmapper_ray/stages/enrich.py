@@ -16,7 +16,6 @@ shuffle of the big side (SURVEY.md §7.3 "broadcast small sides").
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray

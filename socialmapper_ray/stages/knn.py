@@ -20,7 +20,6 @@ k=1). Neither numba nor sklearn exists here; the Ray-native shape is:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 
 def zonal_counts(join_ds, value_col: str | None = None,
