@@ -44,8 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pois": sp.extract_pois_q,
         "pip_join": sp.pip_join_q,
         "pip_join_concave": sp.pip_join_concave_q,
+        "pip_join_partitioned": sp.pip_join_partitioned_q,
         "zonal_agg": sp.zonal_agg_q,
         "knn_nearest": sp.knn_q,
+        "knn_nearest_pruned": sp.knn_pruned_q,
         "band_assign": sp.bands_q,
         "enrich_zones": sp.enrich_zones_q,
         "geoid_components": sp.geoid_components_q,
@@ -100,8 +102,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_pois": sp.extract_pois_sql(d),
         "pip_join": sp.pip_join_sql(d),
         "pip_join_concave": sp.pip_join_concave_sql(d),
+        "pip_join_partitioned": sp.pip_join_sql(d),
         "zonal_agg": sp.zonal_agg_sql(d),
         "knn_nearest": sp.knn_sql(d),
+        "knn_nearest_pruned": sp.knn_sql(d),
         "band_assign": sp.bands_sql(d),
         "enrich_zones": sp.enrich_zones_sql(d),
         "geoid_components": sp.geoid_components_sql(d),

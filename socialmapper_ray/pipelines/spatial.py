@@ -66,6 +66,14 @@ def pip_join_q(sf_dir: str):
     return pip_mod.pip_join(ds, index_ref, keep_cols=("url",))
 
 
+def pip_join_partitioned_q(sf_dir: str):
+    """Scale-path partition-pruned PIP (bounded per-actor index),
+    checked against the SAME SQL oracle as the broadcast join."""
+    ds = tile_mod.tile_points(_extracted_valid(sf_dir))
+    return pip_mod.pip_join_partitioned(
+        ds, synth.table_path(sf_dir, "zones"), keep_cols=("url",))
+
+
 def _pip_cte(d: str) -> str:
     return f"""
     cand AS (
@@ -174,6 +182,28 @@ def knn_q(sf_dir: str):
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         # M5 unit conversion (reference distance/__init__.py:176-178,
         # same 0.621371 constant as the SQL oracle)
+        return df.assign(
+            distance_miles=(df["distance_km"] * 0.621371).round(6),
+            distance_km=df["distance_km"].round(6))
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def knn_pruned_q(sf_dir: str):
+    """Scale-path cell-bucketed kNN (geodesic lat-band pruning), checked
+    against the SAME SQL oracle as the brute-force path."""
+    ds = _extracted_valid(sf_dir)
+    centers_ref = knn_mod.centers_ref_from_parquet(
+        synth.table_path(sf_dir, "band_centers"))
+    from ..util import clamp_concurrency
+
+    out = ds.map_batches(
+        knn_mod.CellPrunedNearest,
+        fn_constructor_kwargs=dict(centers_ref=centers_ref, res=5),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=clamp_concurrency(4, 0.5), num_cpus=0.5)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(
             distance_miles=(df["distance_km"] * 0.621371).round(6),
             distance_km=df["distance_km"].round(6))

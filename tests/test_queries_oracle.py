@@ -26,6 +26,8 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
     for name, fn in (("extract_pois", sp.extract_pois_sql),
                      ("pip_join", sp.pip_join_sql),
                      ("pip_join_concave", sp.pip_join_concave_sql),
+                     ("pip_join_partitioned", sp.pip_join_sql),
+                     ("knn_nearest_pruned", sp.knn_sql),
                      ("zonal_agg", sp.zonal_agg_sql),
                      ("knn_nearest", sp.knn_sql),
                      ("band_assign", sp.bands_sql),
