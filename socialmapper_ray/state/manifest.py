@@ -98,6 +98,28 @@ def _part_manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifests")
 
 
+def read_partitions(out_dir: str, partition_col: str,
+                    values: list[str] | None = None):
+    """Read a hive-partitioned output, pruning to ``values`` at the READ
+    (only the matching partition directories are listed and opened —
+    SURVEY.md 'prune at the read'). ``values=None`` reads everything."""
+    if values is None:
+        return rd.read_parquet(out_dir)
+    # expand to explicit files: read_parquet with a LIST of directories
+    # is unreliable (tries to open the dirs as files)
+    paths = []
+    for v in values:
+        p = os.path.join(out_dir, f"{partition_col}={v}")
+        if os.path.isdir(p):
+            paths.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
+    if not paths:
+        raise FileNotFoundError(
+            f"no partitions {values!r} under {out_dir} "
+            f"(completed: {sorted(completed_partitions(out_dir))})")
+    return rd.read_parquet(paths)
+
+
 def completed_partitions(out_dir: str) -> set[str]:
     d = _part_manifest_dir(out_dir)
     if not os.path.isdir(d):

@@ -54,3 +54,15 @@ def test_partitioned_output_readable(ray_session):
     assert set(back["zone_id"]) == set(want["zone_id"])
     # hive-style partition dirs exist
     assert os.path.isdir(os.path.join(OUT, "kind=zcta"))
+
+
+def test_read_partitions_prunes(ray_session):
+    manifest.resumable_partitioned_write(_zones(), OUT, "kind")
+    one = manifest.read_partitions(OUT, "kind", ["zcta"]).to_pandas()
+    assert len(one) > 0
+    # hive dirs don't carry the partition column inside the files;
+    # the pruned read returns exactly the zcta rows
+    want = _zones().to_pandas()
+    assert len(one) == (want["kind"] == "zcta").sum()
+    with pytest.raises(FileNotFoundError, match="no partitions"):
+        manifest.read_partitions(OUT, "kind", ["nope"])
