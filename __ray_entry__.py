@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_all_docs": rel.union_all_docs,
         "events_sliding": rel.events_sliding,
         "order_lineitem_join": rel.order_lineitem_join,
+        "order_lineitem_join_native": rel.order_lineitem_join_native,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "union_all_docs": rel.UNION_ALL_SQL,
         "events_sliding": rel.EVENTS_SLIDING_SQL,
         "order_lineitem_join": rel.ORDER_LINEITEM_JOIN_SQL,
+        "order_lineitem_join_native": rel.ORDER_LINEITEM_JOIN_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),

@@ -369,6 +369,33 @@ GROUP BY o.o_orderpriority
 """
 
 
+def order_lineitem_join_native(sf_dir: str):
+    """Same join via Ray's native ``Dataset.join`` (hash-partitioned;
+    available since recent Ray releases) — checked against the same SQL
+    oracle as the explicit bucketed implementation."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    joined = orders.join(li, join_type="inner", num_partitions=16,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(q=df["l_quantity"].round().astype(np.int64))
+        return df.groupby("o_orderpriority", sort=False).agg(
+            n=("q", "size"), sq=("q", "sum")).reset_index()
+
+    agg = joined.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(lambda df: df.groupby(
+            "o_orderpriority", sort=False).sum().reset_index(),
+            batch_format="pandas", batch_size=None)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n_lineitems": df["n"].astype(np.int64),
+            "sum_qty": df["sq"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 def union_all_docs(sf_dir: str):
     """U1 union/concat (reference pd.concat of per-county frames,
     block_group_service.py:140-144): two filtered views of documents
