@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": tp.fingerprint_q,
         "embedding_neardup": tp.embedding_neardup_q,
         "ann_topk_lsh": tp.ann_topk_lsh_q,
+        "ann_topk_ivf": tp.ann_topk_ivf_q,
         "sample_docs": tp.sample_docs_q,
         "text_quality": tp.text_quality_q,
         "lang_id": tp.lang_id_q,

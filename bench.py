@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "24"))
 # scaling runs use a larger corpus so per-page compute dominates
 # framework overhead (the regime a real multi-node job runs in)
 SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "64"))

@@ -265,6 +265,30 @@ def ann_topk_lsh_q(sf_dir: str, k: int = 10, n_queries: int = 8):
         batch_format="pandas")
 
 
+def ann_topk_ivf_q(sf_dir: str, k: int = 10, n_queries: int = 8,
+                   n_probe: int = 10):
+    """IVF-Flat ANN (k-means coarse quantizer; rows-only — recall floor
+    vs the exact path is pytest-measured).
+
+    n_probe default is high (10 of 32 cells) because the driver's
+    synthetic embeddings are near-random (99.9th pct cosine ~0.38) —
+    the worst case for a coarse quantizer; clustered real corpora
+    reach the same recall with far fewer probes.
+    """
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qref = ann_mod.queries_ref_from_parquet(_p(sf_dir, "embeddings"),
+                                            n_queries=n_queries)
+    cref = ann_mod.fit_ivf_centroids(_p(sf_dir, "embeddings"))
+    out = ann_mod.ann_topk_ivf(ds, qref, cref, k=k, n_probe=n_probe)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "query_id": df["query_id"].astype(np.int64),
+            "vec_id": df["vec_id"].astype(np.int64),
+            "rank": df["rank"].astype(np.int64),
+            "score_r": df["score"].round(4)}),
+        batch_format="pandas")
+
+
 def sample_docs_q(sf_dir: str, frac: float = 0.1, seed: int = 42):
     """Seeded random sampling (reference O1,
     pipeline/extraction.py:254-266). Rows-only: the sample is

@@ -107,6 +107,110 @@ def queries_ref_from_parquet(path: str, n_queries: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# IVF (k-means coarse quantizer) variant — the stronger scale path
+# ---------------------------------------------------------------------------
+
+def kmeans(m: np.ndarray, k: int, iters: int = 12,
+           seed: int = 20240817) -> np.ndarray:
+    """Deterministic Lloyd's k-means on (normalized) vectors -> (k, d)
+    centroids. Init: evenly strided rows of a seeded permutation (no
+    randomness at fit time beyond the fixed seed)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(m))[: k]
+    c = m[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        new = np.zeros_like(c)
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(new, assign, m)
+        np.add.at(counts, assign, 1)
+        empty = counts == 0
+        new[empty] = c[empty]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        c = new / np.maximum(norms, 1e-30)
+    return c
+
+
+class IVFPartialTopK:
+    """Actor-pool stage: IVF-pruned cosine top-k.
+
+    Centroids are fit once on the driver (the coarse quantizer of a
+    classic IVF-Flat index); each query probes its ``n_probe`` nearest
+    centroids. A data vector is scored against a query only when the
+    vector's own cell is among that query's probed cells. Approximate;
+    recall floor tested vs the exact path.
+    """
+
+    def __init__(self, queries_ref, centroids_ref, k: int, n_probe: int = 4,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        q = ray.get(queries_ref)
+        self.q_ids = np.asarray(q["query_id"])
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.centroids = ray.get(centroids_ref)
+        sims = self.qm @ self.centroids.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]      # (n_q, n_probe)
+        self.probe_sets = [set(row.tolist()) for row in order]
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(_emb_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cell = np.argmax(x @ self.centroids.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        scores = x @ self.qm.T                               # (n, n_q)
+        for qi in range(len(self.q_ids)):
+            mask = np.asarray([int(c) in self.probe_sets[qi] for c in cell])
+            if not mask.any():
+                continue
+            s = scores[mask, qi]
+            vid = ids[mask]
+            k = min(self.k, len(vid))
+            top = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, self.q_ids[qi]))
+            out_v.append(vid[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array(np.empty(0, dtype=self.q_ids.dtype)),
+                "vec_id": pa.array(np.empty(0, dtype=ids.dtype)),
+                "score": pa.array(np.empty(0), pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def fit_ivf_centroids(path: str, n_clusters: int = 32):
+    """Driver-side coarse-quantizer fit over (a sample of) the vectors;
+    broadcast once. At 100 TB: fit on a bounded random sample."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["embedding"])
+    m = _normalize(t["embedding"].combine_chunks().flatten().to_numpy()
+                   .astype(np.float64).reshape(t.num_rows, -1))
+    return ray.put(kmeans(m, min(n_clusters, len(m))))
+
+
+def ann_topk_ivf(emb_ds, queries_ref, centroids_ref, k: int = 10,
+                 n_probe: int = 4, concurrency=4, batch_size: int = 4096):
+    from ..util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency, 0.5)
+    partials = emb_ds.map_batches(
+        IVFPartialTopK,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref,
+                                   centroids_ref=centroids_ref, k=k,
+                                   n_probe=n_probe),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5)
+    return final_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
 # Sign-LSH bucketed variant (scale path)
 # ---------------------------------------------------------------------------
 

@@ -55,3 +55,18 @@ def test_embedding_neardup_symmetric_and_thresholded(ray_session):
     assert (pairs["a"] < pairs["b"]).all()
     assert (pairs["cosine_r"] >= 0.35).all()
     assert len(pairs) == len(pairs.drop_duplicates(["a", "b"]))
+
+
+def test_ann_ivf_recall_floor(ray_session):
+    from socialmapper_ray.pipelines import textops
+
+    exact = textops.ann_topk_q(SF).to_pandas()
+    ivf = textops.ann_topk_ivf_q(SF).to_pandas()
+    ex = set(zip(exact["query_id"], exact["vec_id"]))
+    iv = set(zip(ivf["query_id"], ivf["vec_id"]))
+    recall = len(ex & iv) / len(ex)
+    assert recall >= 0.7, recall
+    # determinism (fixed-seed k-means)
+    ivf2 = textops.ann_topk_ivf_q(SF).to_pandas()
+    assert sorted(map(tuple, ivf.values.tolist())) == \
+        sorted(map(tuple, ivf2.values.tolist()))
