@@ -74,6 +74,18 @@ def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs_q(sf_dir: str, threshold: float = 0.7):
+    """Character-3-gram Jaccard near-dup pairs (rows-only; hashed-gram
+    exactness sampled in tests). Driver-side vectorized matmul — the
+    verifier kernel; at corpus scale it runs inside LSH buckets."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).to_pandas()
+    return dedup_mod.char_ngram_jaccard_pairs(
+        docs["text"], docs["doc_id"], threshold=threshold)
+
+
 def dedup_minhash_keep_q(sf_dir: str, threshold: float = 0.35):
     """Full near-dup dedup decision table: every doc_id with its
     connected component and keep flag (rows-only)."""

@@ -284,6 +284,70 @@ def verify_pairs(pairs_df: pd.DataFrame, texts_by_id: dict,
 
 
 # ---------------------------------------------------------------------------
+# Character n-gram Jaccard (exact, vectorized)
+# ---------------------------------------------------------------------------
+
+_NGRAM_DIM = 1 << 16
+
+
+def _char_ngram_matrix(texts, n: int = 3) -> np.ndarray:
+    """(n_docs, 2^16) float32 binary presence matrix of hashed char
+    n-grams. Collisions under the 16-bit hash make the estimate a
+    (slight, deterministic) approximation of true n-gram Jaccard;
+    exactness vs raw sets is sampled in tests."""
+    m = np.zeros((len(texts), _NGRAM_DIM), dtype=np.float32)
+    for row, t in enumerate(texts):
+        b = t.encode("utf-8")
+        if len(b) < n:
+            continue
+        grams = np.frombuffer(b, dtype=np.uint8)
+        acc = np.zeros(len(b) - n + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(n):
+                acc = acc * np.uint64(131) + grams[i: len(b) - n + 1 + i]
+        from ..sources.synth import splitmix64
+
+        idx = (splitmix64(acc) & np.uint64(_NGRAM_DIM - 1)).astype(np.int64)
+        m[row, idx] = 1.0
+    return m
+
+
+def char_ngram_jaccard_pairs(texts, ids, threshold: float = 0.5,
+                             n: int = 3, chunk: int = 512) -> pd.DataFrame:
+    """All pairs (a < b) with char-n-gram Jaccard >= threshold.
+
+    One binary presence matrix + chunked matmul: |A∩B| = X @ X.T over
+    0/1 rows, |A∪B| = |A| + |B| - |A∩B|. Exact over the hashed gram
+    space, fully vectorized. Quadratic in docs — the within-bucket
+    verifier for LSH candidates at scale; standalone it handles the
+    <= ~1e5-doc small side.
+    """
+    m = _char_ngram_matrix(list(texts), n)
+    sizes = m.sum(axis=1)
+    ids = np.asarray(ids)
+    out_a, out_b, out_j = [], [], []
+    for s in range(0, len(m), chunk):
+        e = min(s + chunk, len(m))
+        inter = m[s:e] @ m.T                     # (chunk, n_docs)
+        union = sizes[s:e, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / union, 1.0)
+        r, c = np.nonzero(j >= threshold)
+        glob_r = r + s
+        keep = ids[glob_r] < ids[c]
+        out_a.append(ids[glob_r][keep])
+        out_b.append(ids[c][keep])
+        out_j.append(j[r, c][keep])
+    if not out_a:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return pd.DataFrame({
+        "a": np.concatenate(out_a).astype(np.int64),
+        "b": np.concatenate(out_b).astype(np.int64),
+        "jaccard": np.round(np.concatenate(out_j), 6),
+    }).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Connected components + full near-dup dedup
 # ---------------------------------------------------------------------------
 

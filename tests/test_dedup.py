@@ -81,3 +81,26 @@ def test_lsh_pairs_precision_and_recall(ray_session, docs):
     got = set(zip(verified["a"], verified["b"]))
     missed = want_high - got
     assert not missed, f"LSH missed high-sim pairs: {missed}"
+
+
+def test_char_ngram_jaccard_matches_sets(docs):
+    texts = docs["text"].head(60).tolist()
+    ids = docs["doc_id"].head(60).to_numpy()
+    out = dedup.char_ngram_jaccard_pairs(texts, ids, threshold=0.3)
+
+    def true_j(a, b):
+        sa = {a[i:i+3] for i in range(len(a)-2)}
+        sb = {b[i:i+3] for i in range(len(b)-2)}
+        return len(sa & sb) / len(sa | sb)
+
+    by_id = dict(zip(ids, texts))
+    # every reported pair is close to the raw-set jaccard (hash collisions
+    # in the 2^16 gram space shift it only slightly)
+    for a, b, j in out.itertuples(index=False):
+        assert abs(true_j(by_id[a], by_id[b]) - j) < 0.03
+    # no high-sim pair is missed
+    for x in range(len(ids)):
+        for y in range(x+1, len(ids)):
+            if true_j(texts[x], texts[y]) >= 0.4:
+                lo, hi = sorted((ids[x], ids[y]))
+                assert ((out["a"] == lo) & (out["b"] == hi)).any()
