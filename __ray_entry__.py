@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational wide ops (groupby/join/sort/limit/window)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         "events_hourly": rel.events_hourly,
         "sessionize": rel.sessionize,
         "top_events_by_value": rel.top_events_by_value,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_kind_stats": sp.zone_kind_stats_sql(d),
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
+        "q6_forecast_revenue": rel.Q6_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "sessionize": rel.SESSIONIZE_SQL,
         "top_events_by_value": rel.TOP_EVENTS_SQL,

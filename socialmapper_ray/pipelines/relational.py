@@ -107,6 +107,47 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 flavour: pure filter + global sum (no groupby at all —
+    partial sums tree-combine to one row). Predicates: shipdate year,
+    discount band, quantity cap."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = pd.Timestamp("1994-01-01")
+    hi = pd.Timestamp("1995-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+             & (df["l_discount"] >= 0.05) & (df["l_discount"] <= 0.07)
+             & (df["l_quantity"] < 24))
+        df = df[m]
+        rev = (df["l_extendedprice"] * df["l_discount"] * 10000) \
+            .round().astype(np.int64)
+        return pd.DataFrame({"rev": [int(rev.sum())], "n": [len(df)]})
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(lambda df: df.sum().to_frame().T,
+                     batch_format="pandas", batch_size=None)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "revenue_e4": df["rev"].astype(np.int64),
+            "n_rows": df["n"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+Q6_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * l_discount * 10000,
+                                  0) AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
                   cutoff: str = "1995-03-15", k: int = 10):
     """Broadcast hash join (customer, orders are the small sides) +
