@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_neighbors": sp.zone_neighbors_q,
         "tract_semijoin": sp.tract_semijoin_q,
         "zone_kind_stats": sp.zone_kind_stats_q,
+        "zones_union": sp.zones_union_q,
         # --- relational wide ops (groupby/join/sort/limit/window)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,

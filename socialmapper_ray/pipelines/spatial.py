@@ -345,6 +345,18 @@ def scrub_demographics_sql(d: str) -> str:
     """
 
 
+def zones_union_q(sf_dir: str):
+    """A1 exact polygon union of all zones (rows-only: one row with
+    ring/hole counts + exact area; no SQL spatial extension exists to
+    oracle it — Monte-Carlo-validated in tests)."""
+    from ..stages import geometry_ops
+
+    synth.ensure_synth(sf_dir)
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["wkb"])
+    return geometry_ops.exact_union(zones)
+
+
 # ---------------------------------------------------------------------------
 # S1: custom-coordinates reader (alias resolution + validation)
 # ---------------------------------------------------------------------------

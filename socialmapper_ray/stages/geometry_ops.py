@@ -103,6 +103,37 @@ def filter_valid_zones(ds, wkb_col: str = "wkb"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def exact_union(ds, wkb_col: str = "wkb"):
+    """A1 exact polygon union -> 1-row Dataset (multipolygon rings as a
+    WKB list + exact area).
+
+    Single combine task over the collected rings (union inputs are the
+    engine's SMALL side — e.g. one run's isochrones, reference
+    pipeline/census.py:87). The tree-reduction path needs hole-aware
+    re-union of partial outputs and is future work; the per-polygon
+    join + dedup (the engine's actual scale strategy, SURVEY §2.5 A1)
+    never needs the union at all.
+    """
+    from .. import union as union_mod
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        polys = [geom.wkb_decode(b)[1] for b in df[wkb_col]]
+        rings, holes = union_mod.polygon_union(polys)
+        area = 0.0
+        for r, h in zip(rings, holes):
+            x, y = r[:, 0], r[:, 1]
+            a = abs((x * np.roll(y, -1) - np.roll(x, -1) * y).sum()) / 2.0
+            area += -a if h else a
+        return pd.DataFrame({
+            "n_rings": [len(rings)],
+            "n_holes": [int(sum(holes))],
+            "area_e6": [int(np.floor(area * 1e6))],
+        })
+
+    return ds.repartition(1).map_batches(combine, batch_format="pandas",
+                                         batch_size=None)
+
+
 def hull_union(ds, wkb_col: str = "wkb"):
     """-> 1-row Dataset holding the convex hull (WKB) of all polygons.
 
