@@ -284,7 +284,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
 
 
 SESSIONIZE_SQL = """
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM (
