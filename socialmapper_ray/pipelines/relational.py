@@ -20,7 +20,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -149,62 +149,107 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 
 
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
-                  cutoff: str = "1995-03-15", k: int = 10):
-    """Broadcast hash join (customer, orders are the small sides) +
-    grouped revenue + global top-k (sort desc, limit)."""
+                  cutoff: str = "1995-03-15", k: int = 10,
+                  n_buckets: int = 16):
+    """Segment top-k revenue orders with NO large-side materialisation.
+
+    The only broadcast is the filtered customer KEY SET (a key array of
+    one dimension segment — genuinely small; orders itself is a large
+    fact table and never touches the driver). Orders and lineitem both
+    stream: each side filters and partial-aggregates per batch, tags
+    itself, and the two sides meet in ONE hash-bucketed exchange on
+    orderkey (the stages/hash_join.py pattern, specialised here so the
+    per-bucket group also finishes the aggregation and keeps only its
+    local top-k — the global top-k is a subset of the union of bucket
+    top-ks, so the final merge sees k * n_buckets rows, not every
+    order).
+    """
     cust = pq.read_table(_p(sf_dir, "customer"),
                          columns=["c_custkey", "c_mktsegment"])
-    cust_keys = set(
+    cust_keys = np.sort(
         cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"]
-        .to_pylist())
-    orders = pq.read_table(
-        _p(sf_dir, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .to_numpy())
+    keys_ref = ray.put(cust_keys)
     cut = pd.Timestamp(cutoff)
-    odf = orders.to_pandas()
-    odf = odf[odf["o_custkey"].isin(cust_keys) & (odf["o_orderdate"] < cut)]
-    orders_ref = ray.put(odf[["o_orderkey", "o_orderdate"]])
 
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
-    class JoinRevenue:
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        k64 = keys.astype(np.int64)
+        return ((k64 * np.int64(0x9E3779B1)) % np.int64(2 ** 31)
+                % np.int64(n_buckets)).astype(np.int64)
+
+    class FilterOrders:
         def __init__(self, ref):
-            self.orders = ray.get(ref)
-            self.keys = self.orders.set_index("o_orderkey")["o_orderdate"]
+            self.keys = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["l_shipdate"] > cut]
-            df = df[df["l_orderkey"].isin(self.keys.index)]
-            if df.empty:
-                return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
-                                     "rev": pd.Series(dtype=np.int64)})
-            # exact int64 1e-4 units (see q1 note on decimal quantization)
-            rev = (df["l_extendedprice"] * (1 - df["l_discount"]) * 10000) \
-                .round().astype(np.int64)
-            out = pd.DataFrame({"o_orderkey": df["l_orderkey"], "rev": rev})
-            return out.groupby("o_orderkey", sort=False)["rev"] \
-                      .sum().reset_index()
+            m = ((df["o_orderdate"] < cut)
+                 & np.isin(df["o_custkey"].to_numpy(), self.keys))
+            sub = df[m]
+            okey = sub["o_orderkey"].to_numpy()
+            return pd.DataFrame({
+                "key": okey,
+                "o_orderdate": sub["o_orderdate"].to_numpy(),
+                "rev": np.zeros(len(sub), dtype=np.int64),
+                "__bucket": bucket_of(okey),
+                "__side": "o",
+            })
 
-        # partial combine inside the map stage (above) keeps the shuffle small
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cut]
+        # exact int64 1e-4 units (see q1 note on decimal quantization)
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"]) * 10000) \
+            .round().astype(np.int64)
+        part = pd.DataFrame({"key": df["l_orderkey"].to_numpy(),
+                             "rev": rev.to_numpy()}) \
+            .groupby("key", sort=False)["rev"].sum().reset_index()
+        part["o_orderdate"] = pd.NaT
+        part["__bucket"] = bucket_of(part["key"].to_numpy())
+        part["__side"] = "l"
+        return part[["key", "o_orderdate", "rev", "__bucket", "__side"]]
 
-    partials = li.map_batches(JoinRevenue, fn_constructor_args=(orders_ref,),
-                              batch_format="pandas", concurrency=2,
-                              num_cpus=0.5)
-    agg = partials.groupby("o_orderkey").aggregate(
-        Sum("rev", alias_name="revenue_e4"))
-    top = agg.sort(["revenue_e4", "o_orderkey"],
-                   descending=[True, False]).limit(k)
+    ot = orders.map_batches(FilterOrders, fn_constructor_args=(keys_ref,),
+                            batch_format="pandas", concurrency=2,
+                            num_cpus=0.5)
+    lt = li.map_batches(li_partial, batch_format="pandas")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["__side"] == "o"]
+        l = g[g["__side"] == "l"]
+        if o.empty or l.empty:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series(dtype=np.int64),
+                "revenue_e4": pd.Series(dtype=np.int64),
+                "o_orderdate": pd.Series(dtype="datetime64[us]")})
+        rev = l.groupby("key", sort=False)["rev"].sum()
+        dates = o.set_index("key")["o_orderdate"]
+        rev = rev[rev.index.isin(dates.index)]          # inner join
+        out = pd.DataFrame({
+            "o_orderkey": rev.index.to_numpy().astype(np.int64),
+            "revenue_e4": rev.to_numpy().astype(np.int64),
+            "o_orderdate": dates.reindex(rev.index).to_numpy(),
+        })
+        return out.sort_values(["revenue_e4", "o_orderkey"],
+                               ascending=[False, True]).head(k)
+
+    top = ot.union(lt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        dates = odf.set_index("o_orderkey")["o_orderdate"]
+        df = df.sort_values(["revenue_e4", "o_orderkey"],
+                            ascending=[False, True]).head(k)
         return pd.DataFrame({
             "o_orderkey": df["o_orderkey"].astype(np.int64),
             "revenue_e4": df["revenue_e4"].astype(np.int64),
-            "o_orderdate": df["o_orderkey"].map(dates),
-        })
+            "o_orderdate": df["o_orderdate"],
+        }).reset_index(drop=True)
 
-    return top.map_batches(finish, batch_format="pandas")
+    return top.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
 
 
 Q3_SQL = """

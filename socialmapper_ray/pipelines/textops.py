@@ -58,16 +58,15 @@ def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
     """LSH candidates -> exact-Jaccard verified near-dup pairs.
 
     Rows-only check (signatures aren't SQL-expressible); determinism and
-    precision are pytest-verified against brute-force Jaccard.
+    precision are pytest-verified against brute-force Jaccard. Both the
+    pair emission and the verification run distributed — no corpus text
+    reaches the driver (stages/dedup.py verify_pairs_distributed).
     """
-    import pyarrow.parquet as pq
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = dedup_mod.candidate_pairs(ds).to_pandas()
-    docs = pq.read_table(_p(sf_dir, "documents"),
-                         columns=["doc_id", "text"]).to_pandas()
-    texts = dict(zip(docs["doc_id"], docs["text"]))
-    out = dedup_mod.verify_pairs(cands, texts, threshold=threshold)
+    cands = dedup_mod.candidate_pairs(ds)
+    out = dedup_mod.verify_pairs_distributed(cands, ds,
+                                             threshold=threshold)
+    out = out.to_pandas()
     out["a"] = out["a"].astype(np.int64)
     out["b"] = out["b"].astype(np.int64)
     out["jaccard"] = out["jaccard"].round(6)
@@ -75,25 +74,39 @@ def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
 
 
 def ngram_jaccard_pairs_q(sf_dir: str, threshold: float = 0.7):
-    """Character-3-gram Jaccard near-dup pairs (rows-only; hashed-gram
-    exactness sampled in tests). Driver-side vectorized matmul — the
-    verifier kernel; at corpus scale it runs inside LSH buckets."""
-    import pyarrow.parquet as pq
+    """Character-3-gram Jaccard near-dup pairs via MinHash-LSH blocking
+    (rows-only; hashed-gram exactness sampled in tests).
 
-    docs = pq.read_table(_p(sf_dir, "documents"),
-                         columns=["doc_id", "text"]).to_pandas()
-    return dedup_mod.char_ngram_jaccard_pairs(
-        docs["text"], docs["doc_id"], threshold=threshold)
+    The quadratic presence-matrix kernel
+    (dedup.char_ngram_jaccard_pairs) stays as the small-input verifier
+    and test oracle; the wired query path blocks with LSH and verifies
+    candidates with the char-n-gram set feature inside the distributed
+    verify — no full-corpus driver read, no all-pairs matmul.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = dedup_mod.candidate_pairs(ds)
+    out = dedup_mod.verify_pairs_distributed(
+        cands, ds, threshold=threshold, feature="char_ngram")
+    out = out.to_pandas()
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def dedup_minhash_keep_q(sf_dir: str, threshold: float = 0.35):
     """Full near-dup dedup decision table: every doc_id with its
-    connected component and keep flag (rows-only)."""
+    connected component and keep flag (rows-only). Streams: the corpus
+    never materialises on the driver (only the sparse verified edge
+    list does, for component labelling)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = dedup_mod.minhash_dedup_keep(ds, threshold=threshold)
-    out["doc_id"] = out["doc_id"].astype(np.int64)
-    out["component"] = out["component"].astype(np.int64)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "component": df["component"].astype(np.int64),
+            "keep": df["keep"].astype(bool)}),
+        batch_format="pandas")
 
 
 def simhash_pairs_q(sf_dir: str, max_hamming: int = 10):

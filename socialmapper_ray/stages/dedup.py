@@ -199,60 +199,111 @@ def lsh_band_rows(batch: pd.DataFrame, id_col: str = "doc_id",
     })
 
 
+def _bucket_of_u64(key: np.ndarray, sub: np.ndarray,
+                   n_buckets: int) -> np.ndarray:
+    """Deterministic bucket in [0, n_buckets) from a uint64 key column
+    mixed with a small int64 sub-key (band_id / block_id)."""
+    k = np.asarray(key, dtype=np.uint64)
+    s = np.asarray(sub, dtype=np.uint64)
+    mixed = k ^ (s * np.uint64(0x9E3779B97F4A7C15))
+    return (mixed % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _pairs_from_sorted_groups(grp_a: np.ndarray, grp_b: np.ndarray,
+                              ids: np.ndarray, group_cap: int = 256):
+    """Vectorized within-group pair emission (no per-group Python loop).
+
+    Rows are lexsorted by (grp_a, grp_b, ids); run-length boundaries
+    give group sizes; groups of equal size are stacked into one matrix
+    and emitted with a single ``triu_indices`` gather per distinct size.
+    Groups larger than ``group_cap`` (pathological hot buckets: e.g. a
+    viral text whose every copy shares every band) emit STAR pairs
+    (min id <-> each other id) — preserving connected components while
+    avoiding the O(s^2) blow-up; all-pairs semantics for such clusters
+    is the exact-dedup path's job.
+    """
+    order = np.lexsort((ids, grp_b, grp_a))
+    ga, gb, ids = grp_a[order], grp_b[order], ids[order]
+    n = len(ids)
+    empty = np.empty(0, dtype=ids.dtype)
+    if n == 0:
+        return empty, empty
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (ga[1:] != ga[:-1]) | (gb[1:] != gb[:-1])
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    out_a, out_b = [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        st = starts[sizes == s]
+        mat = ids[st[:, None] + np.arange(s)[None, :]]   # (g, s), rows asc
+        if s <= group_cap:
+            ii, jj = np.triu_indices(int(s), k=1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        else:
+            out_a.append(np.repeat(mat[:, 0], int(s) - 1))
+            out_b.append(mat[:, 1:].ravel())
+    if not out_a:
+        return empty, empty
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                    driver_row_limit: int = 5_000_000):
+                    n_buckets: int = 64, group_cap: int = 256):
     """LSH candidate pairs (a < b) with a band-occurrence count.
 
-    The signature/banding stage always runs distributed. The pair
-    emission has two paths:
-
-    - band rows fit comfortably on the driver (< driver_row_limit):
-      collect and emit pairs with one vectorized pandas groupby —
-      Ray's map_groups pays per-group overhead across the (hundreds of
-      thousands of) tiny band buckets, measured ~5 s vs ~0.1 s here;
-    - otherwise the fully distributed path: groupby(band).map_groups
-      to emit, groupby(pair) to dedupe (the exchange pattern that
-      scales to 10^12 docs, where band rows are ~32x corpus rows).
+    Fully distributed: band rows are hash-bucketed by (band_id,
+    band_hash) — every band group lands wholly inside one bucket — and
+    ONE ``groupby(bucket).map_groups`` call per bucket emits all of its
+    groups' pairs with the vectorized run-length kernel above (the
+    per-band-group map_groups variant pays ~60 us of pandas overhead
+    per tiny group; at 32 bands x 1e5 docs that was the measured 11 s
+    hot spot). The exchange moves only (band_id, band_hash, id) rows —
+    text never shuffles. Per-bucket partial (a, b) counts tree-combine
+    at the end: candidate pairs are the *output* of LSH blocking and
+    are bounded far below the corpus size; for a pair set that outgrows
+    one block, swap the final combine for ``groupby(['a','b']).sum()``.
     """
-    bands = ds.map_batches(
-        lambda b: lsh_band_rows(b, id_col, text_col), batch_format="pandas")
+    import ray.data as rd
 
-    # size the emission path from the INPUT count (metadata-only for
-    # parquet sources — avoids materialising the band rows twice)
-    n_rows = ds.count() * LSH_BANDS
-    if n_rows <= driver_row_limit:
-        df = bands.to_pandas()
-        df = df.sort_values(id_col, kind="stable")
-        out_a, out_b = [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = g[id_col].to_numpy()
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            pairs = pd.DataFrame({"a": np.empty(0, np.int64),
-                                  "b": np.empty(0, np.int64)})
-        else:
-            pairs = pd.DataFrame({"a": np.concatenate(out_a),
-                                  "b": np.concatenate(out_b)})
-        agg = pairs.groupby(["a", "b"], sort=False).size() \
-                   .reset_index(name="n_bands")
-        import ray.data as rd
+    def band_rows_bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        out = lsh_band_rows(b, id_col, text_col)
+        out["__bucket"] = _bucket_of_u64(
+            out["band_hash"].to_numpy(), out["band_id"].to_numpy(),
+            n_buckets)
+        return out
 
-        return rd.from_pandas(agg)
+    bands = ds.map_batches(band_rows_bucketed, batch_format="pandas")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = _pairs_from_sorted_groups(
+            g["band_id"].to_numpy(), g["band_hash"].to_numpy(),
+            g[id_col].to_numpy(), group_cap)
+        if len(a) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "n_bands": np.empty(0, np.int64)})
+        part = pd.DataFrame({"a": a, "b": b}).groupby(
+            ["a", "b"], sort=False).size().reset_index(name="n_bands")
+        part["n_bands"] = part["n_bands"].astype(np.int64)
+        return part
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    partials = bands.groupby("__bucket").map_groups(
+        emit_bucket, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        out = df.groupby(["a", "b"], sort=False)["n_bands"].sum() \
+                .reset_index()
+        out["n_bands"] = out["n_bands"].astype(np.int64)
+        return out
+
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None)
 
 
 def jaccard(a_sh: np.ndarray, b_sh: np.ndarray) -> float:
@@ -283,11 +334,156 @@ def verify_pairs(pairs_df: pd.DataFrame, texts_by_id: dict,
     return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
 
 
+def candidate_feature_ds(ds, cand_ids_ref, feature: str = "shingles",
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc feature sets for candidate docs only, computed where the
+    text lives. ``cand_ids_ref`` is a broadcast (ray.put) sorted int64
+    array of the LSH-candidate ids — the genuinely small side. The doc
+    stream is filtered by searchsorted membership; only the *feature
+    arrays* of candidate docs (never text) leave the map stage.
+
+    feature: 'shingles' (word-3-shingle 32-bit hashes — MinHash-exact
+    Jaccard) or 'char_ngram' (hashed char-3-gram indices).
+    """
+    from ..util import clamp_concurrency
+
+    class Features:
+        def __init__(self, ref, feature):
+            import ray
+
+            self.keep = ray.get(ref)
+            self.fn = (shingle_hashes if feature == "shingles"
+                       else _char_ngram_indices)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy()
+            pos = np.searchsorted(self.keep, ids)
+            pos = np.minimum(pos, len(self.keep) - 1)
+            sel = (self.keep[pos] == ids) if len(self.keep) else \
+                np.zeros(len(ids), dtype=bool)
+            sub = df[sel]
+            # serialize each sorted-unique feature set to LE-uint64 bytes:
+            # a binary Arrow column travels the shuffle zero-copy, where a
+            # ragged ndarray column would trip the tensor-extension path
+            return pd.DataFrame({
+                id_col: sub[id_col].to_numpy(),
+                "feat": [self.fn(t).astype(np.uint64).tobytes()
+                         for t in sub[text_col]],
+            })
+
+    return ds.map_batches(
+        Features, fn_constructor_args=(cand_ids_ref, feature),
+        batch_format="pandas",
+        concurrency=clamp_concurrency(4, 0.5), num_cpus=0.5)
+
+
+def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             threshold: float = 0.5,
+                             feature: str = "shingles",
+                             n_buckets: int = 8):
+    """Exact-Jaccard verification of LSH candidate pairs WITHOUT
+    materialising the corpus on the driver.
+
+    Exchange plan (the 100 TB shape):
+    1. the candidate pair list (LSH output — small by construction) is
+       the only driver-side table; its id set broadcasts via ray.put;
+    2. features of candidate docs are computed inside the doc stream
+       (:func:`candidate_feature_ds`) — text never moves;
+    3. pairs explode to one row per (pair, member) and hash-join
+       against the feature rows on doc id (stages/hash_join.py — one
+       bucketed exchange);
+    4. a second grouping on the pair id reunites the two members and a
+       vectorized set-intersection emits (a, b, jaccard).
+
+    Returns a Dataset (a, b, jaccard) filtered to >= threshold; values
+    identical to the driver-side :func:`verify_pairs` (same feature
+    functions, same single IEEE division).
+    """
+    import ray
+    import ray.data as rd
+
+    from .hash_join import hash_join
+
+    cand_df = cands.to_pandas() if hasattr(cands, "to_pandas") else cands
+    empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+    if len(cand_df) == 0:
+        return rd.from_pandas(empty)
+    a = cand_df["a"].to_numpy().astype(np.int64)
+    b = cand_df["b"].to_numpy().astype(np.int64)
+    ids_ref = ray.put(np.unique(np.concatenate([a, b])))
+    feats = candidate_feature_ds(ds, ids_ref, feature, id_col, text_col)
+
+    pidx = np.arange(len(cand_df), dtype=np.int64)
+    exploded = rd.from_pandas(pd.DataFrame({
+        "pair_id": np.concatenate([pidx, pidx]),
+        "a": np.concatenate([a, a]),
+        "b": np.concatenate([b, b]),
+        id_col: np.concatenate([a, b]),
+    }))
+    joined = hash_join(
+        exploded, feats, left_on=id_col, right_on=id_col,
+        left_cols=["pair_id", "a", "b", id_col], right_cols=[id_col, "feat"],
+        n_buckets=n_buckets)
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pb"] = (df["pair_id"].to_numpy().astype(np.int64)
+                      % np.int64(n_buckets))
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pair_id", kind="stable")
+        pid = g["pair_id"].to_numpy()
+        feats = g["feat"].to_numpy()
+        ga = g["a"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            [[True], pid[1:] != pid[:-1]]))
+        out_a, out_b, out_j = [], [], []
+        for s in starts:
+            if s + 1 >= len(pid) or pid[s + 1] != pid[s]:
+                continue            # a member doc was missing from ds
+            j = jaccard(np.frombuffer(feats[s], dtype=np.uint64),
+                        np.frombuffer(feats[s + 1], dtype=np.uint64))
+            if j >= threshold:
+                out_a.append(int(ga[s]))
+                out_b.append(int(g["b"].to_numpy()[s]))
+                out_j.append(j)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.asarray(out_a, np.int64),
+                             "b": np.asarray(out_b, np.int64),
+                             "jaccard": np.asarray(out_j, np.float64)})
+
+    return joined.map_batches(add_pair_bucket, batch_format="pandas") \
+        .groupby("__pb").map_groups(per_bucket, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Character n-gram Jaccard (exact, vectorized)
 # ---------------------------------------------------------------------------
 
 _NGRAM_DIM = 1 << 16
+
+
+def _char_ngram_indices(text: str, n: int = 3) -> np.ndarray:
+    """Sorted-unique hashed char-n-gram indices of one document
+    (int64 in [0, 2^16)) — the set representation shared by the
+    presence-matrix kernel and the distributed per-pair verifier."""
+    from ..sources.synth import splitmix64
+
+    b = text.encode("utf-8")
+    if len(b) < n:
+        return np.empty(0, dtype=np.int64)
+    grams = np.frombuffer(b, dtype=np.uint8)
+    acc = np.zeros(len(b) - n + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            acc = acc * np.uint64(131) + grams[i: len(b) - n + 1 + i]
+    idx = (splitmix64(acc) & np.uint64(_NGRAM_DIM - 1)).astype(np.int64)
+    return np.unique(idx)
 
 
 def _char_ngram_matrix(texts, n: int = 3) -> np.ndarray:
@@ -297,17 +493,7 @@ def _char_ngram_matrix(texts, n: int = 3) -> np.ndarray:
     exactness vs raw sets is sampled in tests."""
     m = np.zeros((len(texts), _NGRAM_DIM), dtype=np.float32)
     for row, t in enumerate(texts):
-        b = t.encode("utf-8")
-        if len(b) < n:
-            continue
-        grams = np.frombuffer(b, dtype=np.uint8)
-        acc = np.zeros(len(b) - n + 1, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i in range(n):
-                acc = acc * np.uint64(131) + grams[i: len(b) - n + 1 + i]
-        from ..sources.synth import splitmix64
-
-        idx = (splitmix64(acc) & np.uint64(_NGRAM_DIM - 1)).astype(np.int64)
+        idx = _char_ngram_indices(t, n)
         m[row, idx] = 1.0
     return m
 
@@ -352,53 +538,100 @@ def char_ngram_jaccard_pairs(texts, ids, threshold: float = 0.5,
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs_df: pd.DataFrame, nodes: np.ndarray,
-                         max_rounds: int = 16):
-    """(a, b) edge list + node universe -> DataFrame(node, component).
+                         max_rounds: int = 64):
+    """(a, b) edge list + node universe -> DataFrame(node, component),
+    component = min node id of the component.
 
-    Min-label propagation: each round every node takes the min label in
-    its neighbourhood; converges in O(log diameter) rounds. Implemented
-    in pandas over the edge list (candidate near-dup graphs are sparse
-    and tiny relative to the corpus — they are the OUTPUT of LSH
-    blocking); the same loop expressed with stages/hash_join.py +
-    groupby(Min) runs distributed when the graph outgrows one block
-    (documented scale path).
+    Min-label propagation WITH pointer jumping (label = label[label]
+    compressed to a fixpoint after every propagation round), so
+    convergence takes O(log n) rounds even on a long chain — the plain
+    one-hop variant needs O(diameter) rounds and silently split long
+    chains under a fixed cap. The loop runs until a round makes no
+    update; ``max_rounds`` is a safety limit that RAISES instead of
+    returning partial components. Runs in numpy over the edge list
+    (candidate near-dup graphs are the sparse OUTPUT of LSH blocking);
+    the same rounds expressed with stages/hash_join.py + groupby(Min)
+    run distributed when the graph outgrows one block.
     """
-    labels = pd.Series(nodes, index=nodes, dtype=np.int64)
-    if len(pairs_df) == 0:
+    nodes = np.asarray(nodes, dtype=np.int64)
+    if len(pairs_df) == 0 or len(nodes) == 0:
         return pd.DataFrame({"node": nodes, "component": nodes})
-    e = pd.concat([
-        pairs_df.rename(columns={"a": "u", "b": "v"})[["u", "v"]],
-        pairs_df.rename(columns={"a": "v", "b": "u"})[["u", "v"]],
-    ], ignore_index=True)
+    sort_nodes = np.sort(nodes)
+    a = np.searchsorted(sort_nodes, pairs_df["a"].to_numpy())
+    b = np.searchsorted(sort_nodes, pairs_df["b"].to_numpy())
+    eu = np.concatenate([a, b])
+    ev = np.concatenate([b, a])
+    lab = np.arange(len(sort_nodes), dtype=np.int64)
     for _ in range(max_rounds):
-        neigh = e.assign(lbl=labels.reindex(e["v"]).to_numpy()) \
-                 .groupby("u")["lbl"].min()
-        new = labels.copy()
-        upd = neigh[neigh < labels.reindex(neigh.index)]
-        if upd.empty:
+        new = lab.copy()
+        np.minimum.at(new, eu, lab[ev])
+        changed = not np.array_equal(new, lab)
+        lab = new
+        while True:                     # pointer jumping to fixpoint
+            jump = np.minimum(lab, lab[lab])
+            if np.array_equal(jump, lab):
+                break
+            lab = jump
+        if not changed:
             break
-        new.loc[upd.index] = upd
-        labels = new
-    return pd.DataFrame({"node": labels.index.to_numpy(),
-                         "component": labels.to_numpy()})
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds")
+    return pd.DataFrame({"node": sort_nodes, "component": sort_nodes[lab]})
 
 
 def minhash_dedup_keep(ds, id_col: str = "doc_id", text_col: str = "text",
                        threshold: float = 0.5):
-    """Full near-dup dedup: LSH candidates -> exact-Jaccard verify ->
-    connected components -> keep min id per component.
+    """Full near-dup dedup: LSH candidates -> distributed exact-Jaccard
+    verify -> connected components -> keep min id per component.
 
-    Returns a pandas DataFrame (doc_id, component, keep) covering every
-    document (singletons keep themselves).
+    Returns a *Dataset* (doc_id, component, keep) covering every
+    document. The corpus never materialises on the driver: only the
+    verified edge list (sparse LSH output) does; components of the
+    candidate subgraph are computed there (converged label propagation,
+    see :func:`connected_components`), broadcast as two sorted arrays,
+    and the keep decision streams over the id column — a doc outside
+    every candidate pair keeps itself.
     """
-    docs = ds.select_columns([id_col, text_col]).to_pandas()
-    cands = candidate_pairs(ds, id_col, text_col).to_pandas()
-    texts = dict(zip(docs[id_col], docs[text_col]))
-    verified = verify_pairs(cands, texts, threshold=threshold)
-    comp = connected_components(verified, docs[id_col].to_numpy())
-    keep_of_comp = comp.groupby("component")["node"].min()
-    comp["keep"] = comp["node"] == comp["component"].map(keep_of_comp)
-    return comp.rename(columns={"node": id_col})
+    import ray
+
+    cands = candidate_pairs(ds, id_col, text_col)
+    verified = verify_pairs_distributed(
+        cands, ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    vdf = verified.to_pandas()
+    if len(vdf):
+        edge_nodes = np.unique(np.concatenate(
+            [vdf["a"].to_numpy(), vdf["b"].to_numpy()])).astype(np.int64)
+    else:
+        edge_nodes = np.empty(0, dtype=np.int64)
+    comp = connected_components(vdf, edge_nodes)
+    labels_ref = ray.put((comp["node"].to_numpy(),
+                          comp["component"].to_numpy()))
+
+    class AssignComponent:
+        def __init__(self, ref):
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy().astype(np.int64)
+            component = ids.copy()
+            if len(self.keys):
+                pos = np.minimum(np.searchsorted(self.keys, ids),
+                                 len(self.keys) - 1)
+                hit = self.keys[pos] == ids
+                component[hit] = self.vals[pos[hit]]
+            return pd.DataFrame({
+                id_col: ids,
+                "component": component,
+                "keep": component == ids,
+            })
+
+    from ..util import clamp_concurrency
+
+    return ds.select_columns([id_col]).map_batches(
+        AssignComponent, fn_constructor_args=(labels_ref,),
+        batch_format="pandas",
+        concurrency=clamp_concurrency(4, 0.5), num_cpus=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -459,27 +692,136 @@ def simhash_blocks(batch: pd.DataFrame, id_col: str = "doc_id",
     })
 
 
-def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text"):
-    """Near-dup pairs by SimHash blocking + exact hamming verify."""
-    blocks = ds.map_batches(
-        lambda b: simhash_blocks(b, id_col, text_col), batch_format="pandas")
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits over the byte
+    view — no per-element Python ``bin()``)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if len(x) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64) \
+        .sum(axis=1).astype(np.int64)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
+
+def _simhash_group_pairs(ids: np.ndarray, sigs: np.ndarray,
+                         max_hamming: int, star_cap: int = 256,
+                         chunk: int = 1024):
+    """All (a, b, hamming<=max) pairs within one SimHash block group.
+
+    Collapses to UNIQUE signatures first (a hot block is almost always
+    many copies of the same signature): pairwise hamming runs over the
+    u unique sigs in ``chunk``-row slabs (memory O(chunk*u), still
+    exact), then qualifying sig pairs expand to member id cross
+    products. Identical-signature clusters (hamming 0) larger than
+    ``star_cap`` emit star pairs (min id <-> rest) instead of the
+    quadratic all-pairs — component-preserving, same rationale as the
+    LSH hot-bucket cap.
+    """
+    order = np.argsort(ids, kind="stable")
+    ids, sigs = ids[order], sigs[order]
+    uniq, inv = np.unique(sigs, return_inverse=True)
+    members = [ids[inv == i] for i in range(len(uniq))]
+    out_a, out_b, out_h = [], [], []
+
+    # within-cluster pairs: hamming 0
+    for m in members:
+        if len(m) < 2:
+            continue
+        if len(m) <= star_cap:
+            ii, jj = np.triu_indices(len(m), k=1)
+            out_a.append(m[ii])
+            out_b.append(m[jj])
+        else:
+            ii = np.repeat(m[0], len(m) - 1)
+            out_a.append(ii)
+            out_b.append(m[1:])
+        out_h.append(np.zeros(len(out_a[-1]), dtype=np.int64))
+
+    # cross-cluster pairs over unique signatures, chunked
+    u = len(uniq)
+    for s in range(0, u, chunk):
+        e = min(s + chunk, u)
+        x = uniq[s:e, None] ^ uniq[None, :]
+        ham = popcount64(x.ravel()).reshape(e - s, u)
+        r, c = np.nonzero(ham <= max_hamming)
+        keep = (r + s) < c                      # upper triangle only
+        for ri, ci in zip(r[keep], c[keep]):
+            ma, mb = members[ri + s], members[ci]
+            ga = np.repeat(ma, len(mb))
+            gb = np.tile(mb, len(ma))
+            lo = np.minimum(ga, gb)
+            hi = np.maximum(ga, gb)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(np.full(len(lo), ham[ri, ci], dtype=np.int64))
+    if not out_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_h))
+
+
+def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int = 64):
+    """Near-dup pairs by SimHash blocking + exact hamming verify.
+
+    Same exchange shape as :func:`candidate_pairs`: block rows are
+    hash-bucketed by (block_id, block_val) so each of the ~n_buckets
+    ``map_groups`` calls handles many groups with the vectorized
+    kernel; only groups with >= 2 members do pair work. Final (a, b)
+    min-hamming dedupe tree-combines (pair output is small; swap for
+    groupby(['a','b']).min() if it ever isn't).
+    """
+    def block_rows_bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        out = simhash_blocks(b, id_col, text_col)
+        out["__bucket"] = _bucket_of_u64(
+            out["block_val"].to_numpy(), out["block_id"].to_numpy(),
+            n_buckets)
+        return out
+
+    blocks = ds.map_batches(block_rows_bucketed, batch_format="pandas")
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bid = g["block_id"].to_numpy()
+        bval = g["block_val"].to_numpy()
         ids = g[id_col].to_numpy()
         sigs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []},
-                                dtype=np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = np.bitwise_xor(sigs[ii], sigs[jj])
-        ham = np.asarray([bin(int(v)).count("1") for v in x], dtype=np.int64)
-        ok = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ii][ok], "b": ids[jj][ok],
-                             "hamming": ham[ok]})
+        order = np.lexsort((ids, bval, bid))
+        bid, bval, ids, sigs = (bid[order], bval[order], ids[order],
+                                sigs[order])
+        n = len(ids)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = (bid[1:] != bid[:-1]) | (bval[1:] != bval[:-1])
+        starts = np.flatnonzero(new) if n else np.empty(0, np.int64)
+        ends = np.append(starts[1:], n)
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            a, b, h = _simhash_group_pairs(ids[s:e], sigs[s:e], max_hamming)
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+                out_h.append(h)
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "hamming": np.empty(0, np.int64)})
+        part = pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
+        return part.groupby(["a", "b"], sort=False)["hamming"].min() \
+                   .reset_index()
 
-    pairs = blocks.groupby(["block_id", "block_val"]).map_groups(
-        emit, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    partials = blocks.groupby("__bucket").map_groups(
+        emit_bucket, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby(["a", "b"], sort=False)["hamming"].min() \
+                 .reset_index()
+
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None)

@@ -83,6 +83,96 @@ def test_lsh_pairs_precision_and_recall(ray_session, docs):
     assert not missed, f"LSH missed high-sim pairs: {missed}"
 
 
+def test_verify_pairs_distributed_matches_driver(ray_session, docs):
+    """The shuffled verify path (feature arrays join pairs by doc id)
+    must produce exactly the driver-side verify's pairs and values."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs)
+    cands = dedup.candidate_pairs(ds)
+    got = dedup.verify_pairs_distributed(cands, ds, threshold=0.35) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    want = dedup.verify_pairs(cands.to_pandas(), texts, threshold=0.35) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+    assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+    assert np.allclose(got["jaccard"], want["jaccard"], atol=0)
+
+
+def test_ngram_verify_distributed_exact_sets(ray_session, docs):
+    """char_ngram feature through the distributed verify == exact set
+    jaccard of hashed gram indices (precision 1 vs the brute kernel)."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs)
+    cands = dedup.candidate_pairs(ds)
+    got = dedup.verify_pairs_distributed(
+        cands, ds, threshold=0.5, feature="char_ngram").to_pandas()
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    for a, b, j in got.itertuples(index=False):
+        sa = dedup._char_ngram_indices(by_id[a])
+        sb = dedup._char_ngram_indices(by_id[b])
+        want = dedup.jaccard(sa.astype(np.uint64), sb.astype(np.uint64))
+        assert abs(want - j) < 1e-12 and want >= 0.5
+
+
+def test_connected_components_long_chain():
+    """A 40-edge chain converges to one component (pointer jumping —
+    one-hop propagation under a 16-round cap silently split this)."""
+    n = 41
+    pairs = pd.DataFrame({"a": np.arange(n - 1) + 100,
+                          "b": np.arange(1, n) + 100})
+    comp = dedup.connected_components(pairs, np.arange(n) + 100)
+    assert (comp["component"] == 100).all()
+
+
+def test_simhash_hot_block_star_cap(ray_session):
+    """A viral duplicate (one text x 600 copies) must not emit the
+    O(n^2) within-cluster pairs: star pairs keep every copy connected
+    to the min id while bounding output."""
+    import ray.data as rd
+
+    base = "the same viral text repeated everywhere on the web ok"
+    df = pd.DataFrame({
+        "doc_id": np.arange(600, dtype=np.int64),
+        "text": [base] * 600,
+    })
+    pairs = dedup.simhash_pairs(rd.from_pandas(df), max_hamming=3) \
+        .to_pandas()
+    # star: exactly n-1 pairs, all anchored at the min id, hamming 0
+    assert len(pairs) == 599
+    assert (pairs["a"] == 0).all()
+    assert (pairs["hamming"] == 0).all()
+    assert set(pairs["b"]) == set(range(1, 600))
+
+
+def test_candidate_pairs_hot_group_star_cap(ray_session):
+    """LSH hot band groups (every copy shares every band) emit star
+    pairs above group_cap — components preserved, no quadratic pairs."""
+    import ray.data as rd
+
+    base = "another viral duplicate text spread across many mirrors yes"
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "text": [base] * 400,
+    })
+    pairs = dedup.candidate_pairs(rd.from_pandas(df)).to_pandas()
+    assert len(pairs) == 399
+    assert (pairs["a"] == 0).all()
+    # every band is the same hot group -> n_bands = LSH_BANDS per pair
+    assert (pairs["n_bands"] == dedup.LSH_BANDS).all()
+
+
+def test_popcount64_matches_python():
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    got = dedup.popcount64(x)
+    want = np.asarray([bin(int(v)).count("1") for v in x])
+    assert (got == want).all()
+
+
 def test_char_ngram_jaccard_matches_sets(docs):
     texts = docs["text"].head(60).tolist()
     ids = docs["doc_id"].head(60).to_numpy()
