@@ -50,6 +50,10 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # plain list<double> embeddings: the tensor-extension cast makes the
+    # schema unhashable (Ray logs "Failed to hash the schemas" per actor)
+    # and buys nothing here — _emb_matrix consumes the flat list buffer
+    ctx.enable_tensor_extension_casting = False
 
     import ray.data as rd
 

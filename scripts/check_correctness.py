@@ -78,6 +78,7 @@ def main():
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().enable_tensor_extension_casting = False
 
     import __ray_entry__ as entrymod
     from socialmapper_ray.sources import synth

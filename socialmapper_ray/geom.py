@@ -276,6 +276,12 @@ def polygon_centroid(coords: np.ndarray) -> tuple[float, float]:
     return float(cx), float(cy)
 
 
+def _cross2(a: np.ndarray, b: np.ndarray):
+    """2-D cross product z-component (np.cross on 2-D vectors is
+    deprecated in NumPy 2.x). Broadcasts: a is (2,), b is (2,) or (n, 2)."""
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone chain; (m, 2) CCW hull of (n, 2) points (ref M9)."""
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
@@ -285,7 +291,7 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     def half(iterable):
         h: list[np.ndarray] = []
         for p in iterable:
-            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+            while len(h) >= 2 and _cross2(h[-1] - h[-2], p - h[-2]) <= 0:
                 h.pop()
             h.append(p)
         return h
@@ -318,7 +324,7 @@ def simplify_polygon(coords: np.ndarray, tolerance: float) -> np.ndarray:
         if L < 1e-300:
             d = np.hypot(pts[:, 0] - c[i, 0], pts[:, 1] - c[i, 1])
         else:
-            d = np.abs(np.cross(seg, pts - c[i])) / L
+            d = np.abs(_cross2(seg, pts - c[i])) / L
         k = int(np.argmax(d))
         if d[k] > tolerance:
             keep[i + 1 + k] = True

@@ -149,7 +149,12 @@ class IVFPartialTopK:
         self.centroids = ray.get(centroids_ref)
         sims = self.qm @ self.centroids.T
         order = np.argsort(-sims, axis=1)[:, :n_probe]      # (n_q, n_probe)
-        self.probe_sets = [set(row.tolist()) for row in order]
+        # boolean (n_q, n_cells) probe table: per-batch membership is a
+        # vectorized gather, not a per-row Python set test
+        self.probe_mask = np.zeros((len(self.q_ids), len(self.centroids)),
+                                   dtype=bool)
+        rows = np.repeat(np.arange(len(self.q_ids)), order.shape[1])
+        self.probe_mask[rows, order.ravel()] = True
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -161,7 +166,7 @@ class IVFPartialTopK:
         out_q, out_v, out_s = [], [], []
         scores = x @ self.qm.T                               # (n, n_q)
         for qi in range(len(self.q_ids)):
-            mask = np.asarray([int(c) in self.probe_sets[qi] for c in cell])
+            mask = self.probe_mask[qi, cell]
             if not mask.any():
                 continue
             s = scores[mask, qi]
@@ -184,14 +189,35 @@ class IVFPartialTopK:
         })
 
 
-def fit_ivf_centroids(path: str, n_clusters: int = 32):
-    """Driver-side coarse-quantizer fit over (a sample of) the vectors;
-    broadcast once. At 100 TB: fit on a bounded random sample."""
+def fit_ivf_centroids(path: str, n_clusters: int = 32,
+                      max_fit_rows: int = 65536, seed: int = 20240817):
+    """Coarse-quantizer fit on a BOUNDED sample; broadcast once.
+
+    Small tables (<= max_fit_rows) are read whole. Larger ones are
+    sampled distributed (``Dataset.random_sample`` with a fixed seed)
+    so the driver never holds more than ~max_fit_rows vectors no matter
+    the corpus size — a k-means quantizer fit on a 64k random sample is
+    statistically indistinguishable from the full fit for IVF purposes.
+    """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["embedding"])
-    m = _normalize(t["embedding"].combine_chunks().flatten().to_numpy()
-                   .astype(np.float64).reshape(t.num_rows, -1))
+    n_total = pq.ParquetFile(path).metadata.num_rows
+    if n_total <= max_fit_rows:
+        t = pq.read_table(path, columns=["embedding"])
+        m = t["embedding"].combine_chunks().flatten().to_numpy() \
+            .astype(np.float64).reshape(t.num_rows, -1)
+    else:
+        import ray.data as rd
+
+        frac = max_fit_rows / n_total
+        rows = rd.read_parquet(path, columns=["embedding"]) \
+            .random_sample(frac, seed=seed).take_all()
+        m = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        if len(m) > max_fit_rows:           # sampling variance overshoot
+            rng = np.random.default_rng(seed)
+            keep = np.sort(rng.choice(len(m), max_fit_rows, replace=False))
+            m = m[keep]
+    m = _normalize(m)
     return ray.put(kmeans(m, min(n_clusters, len(m))))
 
 
@@ -250,7 +276,8 @@ class LSHPartialTopK:
             probe |= nxt
             frontier = nxt
         self.q_buckets = qb
-        self.probe = probe
+        self.probe = np.zeros(1 << N_PLANES, dtype=bool)
+        self.probe[np.asarray(sorted(probe), dtype=np.int64)] = True
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -259,7 +286,7 @@ class LSHPartialTopK:
         x = _normalize(_emb_matrix(batch, self.emb_col))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         xb = bucket_of(x, self.planes)
-        keep = np.asarray([int(b) in self.probe for b in xb])
+        keep = self.probe[xb]
         if not keep.any():
             return pa.table({
                 "query_id": pa.array(np.empty(0, dtype=self.q_ids.dtype)),

@@ -93,19 +93,17 @@ class CellPrunedNearest:
 
     Probe rows are grouped by hexcell (one candidate search per occupied
     cell, amortised over its rows). The candidate search walks facilities
-    in order of |Δlat| from the cell center (two-pointer over a
+    in order of |Δlat| from the group representative (two-pointer over a
     lat-sorted array) and stops once the *provable* lower bound
     ``R * |Δlat|  <=  great-circle distance`` exceeds the best candidate
-    found plus twice the cell radius. Exact for any geometry — the bound
-    is geodesic, not projected (the sinusoidal hex metric shears too
-    much at continental scales to prune exactly; measured 2x on the test
-    world). Verified against the brute path in tests/test_pipeline_spatial.py.
+    found plus twice the group radius. The radius is the EMPIRICAL max
+    great-circle distance from the representative (the member mean) to
+    its actual member rows — not a fixed multiple of the hex size, which
+    under-covers when members sit corner-to-corner or the cell shears
+    east-west at high latitude. With the measured radius the bound is
+    exact for any member geometry. Verified against the brute path in
+    tests/test_pipeline_spatial.py.
     """
-
-    #: geographic radius of a res-r hex cell in km, with margin:
-    #: lat extent is exactly +-size; lon extent ~ size / cos(lat) arcs
-    #: back to ~size * 111.19 km; 1.5x covers the corner cases.
-    CELL_RADIUS_FACTOR = 1.5
 
     def __init__(self, centers_ref, res: int = 5, keep_cols=("url",),
                  lat_col="lat", lon_col="lon"):
@@ -115,15 +113,15 @@ class CellPrunedNearest:
         self.c_id = np.asarray(c["center_id"])
         self.res = res
         self.size = tiles.HEX_SIZE0 / (1 << res)
-        self.r_cell_km = self.CELL_RADIUS_FACTOR * self.size * _KM_PER_DEG
         self.lat_order = np.argsort(self.c_lat, kind="stable")
         self.sorted_lat = self.c_lat[self.lat_order]
         self.keep_cols = list(keep_cols)
         self.lat_col = lat_col
         self.lon_col = lon_col
 
-    def _candidates_for_cell(self, plat: float, plon: float) -> np.ndarray:
-        """Centers that could be nearest to any point within r_cell_km of
+    def _candidates_for_cell(self, plat: float, plon: float,
+                             r_km: float) -> np.ndarray:
+        """Centers that could be nearest to any point within r_km of
         (plat, plon): walk outward in |Δlat|, stop at the geodesic bound."""
         n = len(self.sorted_lat)
         pos = int(np.searchsorted(self.sorted_lat, plat))
@@ -133,7 +131,7 @@ class CellPrunedNearest:
         while lo >= 0 or hi < n:
             d_lo = plat - self.sorted_lat[lo] if lo >= 0 else np.inf
             d_hi = self.sorted_lat[hi] - plat if hi < n else np.inf
-            if min(d_lo, d_hi) * _KM_PER_DEG > best + 2.0 * self.r_cell_km:
+            if min(d_lo, d_hi) * _KM_PER_DEG > best + 2.0 * r_km:
                 break
             if d_lo <= d_hi:
                 j = self.lat_order[lo]
@@ -157,9 +155,13 @@ class CellPrunedNearest:
         uniq, inv = np.unique(cells, return_inverse=True)
         for ui, _cell in enumerate(uniq):
             rows = np.flatnonzero(inv == ui)
-            # cell centroid proxy: mean of member rows (within cell radius)
-            cj = self._candidates_for_cell(float(lat[rows].mean()),
-                                           float(lon[rows].mean()))
+            # representative = member mean; prune radius = true max
+            # member distance from it (exact bound, see class docstring)
+            rlat, rlon = float(lat[rows].mean()), float(lon[rows].mean())
+            r_km = float(np.max(geom.haversine_km(
+                np.full(len(rows), rlat), np.full(len(rows), rlon),
+                lat[rows], lon[rows]))) if len(rows) else 0.0
+            cj = self._candidates_for_cell(rlat, rlon, r_km)
             d = geom.haversine_km(lat[rows, None], lon[rows, None],
                                   self.c_lat[None, cj], self.c_lon[None, cj])
             a = np.argmin(d, axis=1)

@@ -42,16 +42,26 @@ def zonal_counts(join_ds, value_col: str | None = None,
         g = df.groupby(zone_col, sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(zone_col, sort=False).sum().reset_index()
-        out = {zone_col: g[zone_col], "n_pois": g["n"]}
+    def combine_raw(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(zone_col, sort=False).sum().reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = {zone_col: df[zone_col], "n_pois": df["n"]}
         if value_col:
-            out[f"sum_{value_col}"] = g["v"]
+            out[f"sum_{value_col}"] = df["v"]
         return pd.DataFrame(out)
 
     partials = join_ds.map_batches(partial, batch_format="pyarrow")
-    return partials.repartition(final_blocks) \
-        .map_batches(combine, batch_format="pandas", batch_size=None)
+    t = partials.repartition(final_blocks) \
+        .map_batches(combine_raw, batch_format="pandas", batch_size=None)
+    if final_blocks > 1:
+        # repartition is round-robin, not hash: a zone can span blocks,
+        # so the 2-level tree needs this second (tiny) combine level —
+        # its input is <= final_blocks rows per zone
+        t = t.repartition(1).map_batches(combine_raw,
+                                         batch_format="pandas",
+                                         batch_size=None)
+    return t.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def dedup_first(ds, keys: list[str], min_cols: list[str] = (),

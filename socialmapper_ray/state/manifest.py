@@ -23,6 +23,7 @@ import os
 import shutil
 import time
 
+import pandas as pd
 import ray.data as rd
 
 
@@ -133,40 +134,50 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
     per-partition manifest; a rerun skips partitions whose manifest
     exists (north rule: "resume = anti-join manifest vs plan").
 
-    Returns {"written": [...], "skipped": [...]}. Semantics: the INPUT
-    still streams fully (Ray cannot prune upstream work by output
-    state); what resumes is the expensive write + any downstream
-    consumer, and crucially a killed run never leaves a partition that
-    is both present and unmarked — manifests are written after their
-    partition completes, so trusting manifests alone is safe.
+    Crash safety: every run writes its files into a hidden per-run
+    staging dir inside each partition (``.run-<id>/`` — dot-prefixed
+    paths are invisible to Arrow dataset discovery, so readers never
+    see in-flight files). After the stream finishes, each partition is
+    PUBLISHED: stale visible files and other runs' staging dirs are
+    cleared first (the partition has no manifest, so nothing trusted is
+    lost), then this run's files move up and the manifest is written.
+    A killed run therefore leaves either (a) only invisible staging
+    files, or (b) a partition mid-publish without a manifest — both
+    rewritten cleanly by the next resume, never silently duplicated.
+    Ray-retried write tasks are also safe: staged files are named by a
+    content hash of their rows, so a retry of the same (deterministic)
+    batch overwrites its own file instead of appending a duplicate; the
+    manifest row count is re-derived from the published files' parquet
+    metadata, not from possibly-double-counted task stats.
     """
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as papq
 
     done = completed_partitions(out_dir)
     os.makedirs(_part_manifest_dir(out_dir), exist_ok=True)
+    run_id = uuid.uuid4().hex[:12]
 
-    skipped: set[str] = set()
     written: set[str] = set()
 
     def write_batch(batch: pa.Table) -> pa.Table:
-        # group rows by partition value and append one file per batch
-        # into each partition dir (atomic rename per file)
-        import uuid
-
-        vals = batch[partition_col].to_pylist()
         df = batch.to_pandas()
         out_rows = {"partition": [], "rows": []}
         for val, grp in df.groupby(partition_col, sort=False):
             key = str(val)
             if key in done:
                 continue
-            pdir = os.path.join(out_dir, f"{partition_col}={key}")
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
+            stage = os.path.join(out_dir, f"{partition_col}={key}",
+                                 f".run-{run_id}")
+            os.makedirs(stage, exist_ok=True)
+            content = hashlib.md5(
+                pd.util.hash_pandas_object(grp, index=False)
+                .to_numpy().tobytes()).hexdigest()[:16]
+            tmp = os.path.join(stage, f".tmp-{uuid.uuid4().hex}.parquet")
             papq.write_table(pa.Table.from_pandas(grp, preserve_index=False),
                              tmp, compression="snappy")
-            os.rename(tmp, tmp.replace("/.tmp-", "/part-"))
+            os.rename(tmp, os.path.join(stage, f"part-{content}.parquet"))
             out_rows["partition"].append(key)
             out_rows["rows"].append(len(grp))
         return pa.table(out_rows)
@@ -175,11 +186,29 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
     if len(stats):
         agg = stats.groupby("partition")["rows"].sum()
         for key, n in agg.items():
+            pdir = os.path.join(out_dir, f"{partition_col}={key}")
+            stage = os.path.join(pdir, f".run-{run_id}")
+            # publish: clear stale visible files + other runs' staging
+            # (partition is unmarked -> nothing here is trusted yet)
+            for entry in os.listdir(pdir):
+                p = os.path.join(pdir, entry)
+                if entry == f".run-{run_id}":
+                    continue
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+            n_pub = 0
+            for fname in sorted(os.listdir(stage)):
+                src = os.path.join(stage, fname)
+                os.rename(src, os.path.join(pdir, fname))
+                n_pub += papq.ParquetFile(
+                    os.path.join(pdir, fname)).metadata.num_rows
+            shutil.rmtree(stage, ignore_errors=True)
             with open(os.path.join(_part_manifest_dir(out_dir),
                                    f"{key}.json"), "w") as f:
-                json.dump({"partition": key, "rows": int(n),
+                json.dump({"partition": key, "rows": int(n_pub),
                            "fingerprint": fp,
                            "written_at": time.time()}, f)
             written.add(key)
-    skipped = done
-    return {"written": sorted(written), "skipped": sorted(skipped)}
+    return {"written": sorted(written), "skipped": sorted(done)}

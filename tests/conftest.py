@@ -25,6 +25,7 @@ def ray_session():
 
         ctx = DataContext.get_current()
         ctx.enable_progress_bars = False
+        ctx.enable_tensor_extension_casting = False
     except Exception:
         pass
     yield

@@ -162,6 +162,28 @@ def test_dedup_first_rules(ray_session):
     assert out["n_dupes"].tolist() == [2, 3]
 
 
+def test_zonal_counts_two_level_tree(ray_session):
+    """final_blocks > 1 must still yield ONE row per zone with totals
+    equal to the single-block combine (a zone's partials are spread
+    round-robin across blocks, so a second combine level is required)."""
+    import ray.data as rd
+
+    from socialmapper_ray.stages import zonal
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "zone_id": rng.integers(0, 20, 5000),
+        "n_chars": rng.integers(1, 100, 5000),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    one = zonal.zonal_counts(ds, value_col="n_chars", final_blocks=1) \
+        .to_pandas().sort_values("zone_id").reset_index(drop=True)
+    four = zonal.zonal_counts(ds, value_col="n_chars", final_blocks=4) \
+        .to_pandas().sort_values("zone_id").reset_index(drop=True)
+    assert len(four) == df["zone_id"].nunique()
+    assert one.equals(four)
+
+
 def test_band_polygons_artifact():
     import pyarrow.parquet as pq
 

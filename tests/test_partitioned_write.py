@@ -39,11 +39,47 @@ def test_partitioned_write_and_resume(ray_session):
     assert r2["written"] == []
     assert sorted(r2["skipped"]) == ["blockgroup", "isochrone", "zcta"]
 
-    # losing one partition manifest -> only that partition is rewritten
+    # losing one partition manifest -> only that partition is rewritten,
+    # and the stale (present-but-unmarked) files are REPLACED, not
+    # appended to: a re-read must show the original row count
     os.remove(os.path.join(OUT, "_manifests", "zcta.json"))
     r3 = manifest.resumable_partitioned_write(_zones(), OUT, "kind")
     assert r3["written"] == ["zcta"]
     assert sorted(r3["skipped"]) == ["blockgroup", "isochrone"]
+    back = rd.read_parquet(OUT).to_pandas()
+    want = _zones().to_pandas()
+    assert len(back) == len(want), "resume duplicated partition rows"
+    zcta = manifest.read_partitions(OUT, "kind", ["zcta"]).to_pandas()
+    assert len(zcta) == (want["kind"] == "zcta").sum()
+    assert sorted(zcta["zone_id"]) == sorted(
+        want.loc[want["kind"] == "zcta", "zone_id"])
+
+
+def test_partitioned_write_killed_run_resumes_clean(ray_session):
+    """A 'killed' run (staged files present, no manifest) must be
+    invisible to readers and fully replaced by the next run."""
+    r1 = manifest.resumable_partitioned_write(_zones(), OUT, "kind")
+    assert len(r1["written"]) == 3
+    want = _zones().to_pandas()
+
+    # simulate a killed run: a stale staging dir + a stale visible file
+    # in a partition whose manifest is then lost
+    pdir = os.path.join(OUT, "kind=zcta")
+    stale_stage = os.path.join(pdir, ".run-deadbeef")
+    os.makedirs(stale_stage, exist_ok=True)
+    existing = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(pdir, existing[0]),
+                os.path.join(stale_stage, "part-zzz.parquet"))
+    shutil.copy(os.path.join(pdir, existing[0]),
+                os.path.join(pdir, "part-stale.parquet"))
+    os.remove(os.path.join(OUT, "_manifests", "zcta.json"))
+
+    # dot-prefixed staging is invisible to arrow discovery even now
+    r2 = manifest.resumable_partitioned_write(_zones(), OUT, "kind")
+    assert r2["written"] == ["zcta"]
+    back = rd.read_parquet(OUT).to_pandas()
+    assert len(back) == len(want), "stale files leaked into the resume"
+    assert not os.path.isdir(stale_stage)
 
 
 def test_partitioned_output_readable(ray_session):
