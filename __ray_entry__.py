@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tract_semijoin": sp.tract_semijoin_q,
         "zone_kind_stats": sp.zone_kind_stats_q,
         "zones_union": sp.zones_union_q,
+        "zcta_by_prefix": sp.zcta_by_prefix_q,
+        "zone_choropleth": sp.zone_choropleth_q,
+        "band_polygons": sp.band_polygons_q,
         # --- relational wide ops (groupby/join/sort/limit/window)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -71,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": rel.events_sliding,
         "order_lineitem_join": rel.order_lineitem_join,
         "order_lineitem_join_native": rel.order_lineitem_join_native,
+        "dedup_events_first": rel.dedup_events_first,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -120,6 +124,9 @@ def oracle_sql() -> dict[str, str]:
         "zone_neighbors": sp.zone_neighbors_sql(d),
         "tract_semijoin": sp.tract_semijoin_sql(d),
         "zone_kind_stats": sp.zone_kind_stats_sql(d),
+        "zcta_by_prefix": sp.zcta_by_prefix_sql(d),
+        "zone_choropleth": sp.zone_choropleth_sql(d),
+        "band_polygons": sp.band_polygons_sql(d),
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "q6_forecast_revenue": rel.Q6_SQL,
@@ -132,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": rel.EVENTS_SLIDING_SQL,
         "order_lineitem_join": rel.ORDER_LINEITEM_JOIN_SQL,
         "order_lineitem_join_native": rel.ORDER_LINEITEM_JOIN_SQL,
+        "dedup_events_first": rel.DEDUP_EVENTS_FIRST_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),

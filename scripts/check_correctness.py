@@ -105,7 +105,10 @@ def main():
                      ("zone_centroids", sp.zone_centroids_sql),
                      ("zone_neighbors", sp.zone_neighbors_sql),
                      ("tract_semijoin", sp.tract_semijoin_sql),
-                     ("zone_kind_stats", sp.zone_kind_stats_sql)):
+                     ("zone_kind_stats", sp.zone_kind_stats_sql),
+                     ("zcta_by_prefix", sp.zcta_by_prefix_sql),
+                     ("zone_choropleth", sp.zone_choropleth_sql),
+                     ("band_polygons", sp.band_polygons_sql)):
         oracles[name] = fn(d)
 
     con = duckdb.connect()

@@ -482,6 +482,57 @@ def order_lineitem_join_native(sf_dir: str):
         batch_format="pandas")
 
 
+def dedup_events_first(sf_dir: str):
+    """A2 dedup-with-agg-rules (reference export/preparation.py:143-187:
+    GROUP BY key, min for some columns, deterministic-first for others):
+    per (user_id, event_type) keep the row with the smallest event_id,
+    carrying its value, plus the duplicate count.
+
+    Shape: per-batch partial (sort + drop_duplicates keeps each group's
+    min-event_id row and counts rows) -> tree combine (same rule over
+    partials, counts sum). The exchange moves one row per (group,
+    batch), never the event stream.
+    """
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["user_id", "event_type"], sort=False) \
+                .size().reset_index(name="n")
+        first = df.sort_values("event_id", kind="stable") \
+                  .drop_duplicates(["user_id", "event_type"], keep="first")
+        return first.merge(cnt, on=["user_id", "event_type"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["user_id", "event_type"], sort=False)["n"] \
+                .sum().reset_index()
+        first = df.sort_values("event_id", kind="stable") \
+                  .drop_duplicates(["user_id", "event_type"], keep="first") \
+                  .drop(columns=["n"])
+        return first.merge(cnt, on=["user_id", "event_type"])
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "event_type": df["event_type"],
+            "n_dupes": df["n"].astype(np.int64),
+            "event_id": df["event_id"].astype(np.int64),
+            "value_r": df["value"].round(6)}),
+        batch_format="pandas")
+
+
+DEDUP_EVENTS_FIRST_SQL = """
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes,
+       CAST(MIN(event_id) AS BIGINT) AS event_id,
+       ROUND(arg_min(value, event_id), 6) AS value_r
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def union_all_docs(sf_dir: str):
     """U1 union/concat (reference pd.concat of per-county frames,
     block_group_service.py:140-144): two filtered views of documents

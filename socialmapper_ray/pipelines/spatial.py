@@ -499,6 +499,199 @@ def tract_semijoin_sql(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# S5: ZCTA source — prefix-partitioned fetch
+# ---------------------------------------------------------------------------
+
+_ZCTA_PREFIX_COUNT = 8
+
+
+def _zcta_prefixes(d: str) -> list[str]:
+    """Deterministic ZCTA prefix set (first N distinct 3-char prefixes
+    of the zcta-kind zones, sorted) — the analogue of the reference's
+    state-prefix ZCTA fetch (census/services/zcta_service.py:38-203)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{d}/zones.parquet", columns=["zone_id", "kind"])
+    ids = [z for z, k in zip(t["zone_id"].to_pylist(),
+                             t["kind"].to_pylist()) if k == "zcta"]
+    return sorted({z[:3] for z in ids})[:_ZCTA_PREFIX_COUNT]
+
+
+def zcta_by_prefix_q(sf_dir: str):
+    """ZCTA rows fetched by code prefix (reference S5: ZCTAs are
+    requested per 2/3-digit prefix batch and standardised; here the
+    prefix set filters the zcta partition of the zone table with the
+    same vectorized semi-join machinery as J7)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = synth.ensure_synth(sf_dir)
+    prefixes = pa.array(_zcta_prefixes(d))
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["zone_id", "kind", "lat_min", "lat_max",
+                                     "lon_min", "lon_max"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "zcta"))
+        pref = pc.utf8_slice_codeunits(t["zone_id"], 0, 3)
+        t = t.filter(pc.is_in(pref, value_set=prefixes))
+        return pa.table({
+            "zcta_code": pc.utf8_slice_codeunits(t["zone_id"], 0, 5),
+            "zone_id": t["zone_id"],
+            "lat_min": t["lat_min"], "lat_max": t["lat_max"],
+            "lon_min": t["lon_min"], "lon_max": t["lon_max"],
+        })
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
+def zcta_by_prefix_sql(d: str) -> str:
+    prefixes = ", ".join(f"'{p}'" for p in _zcta_prefixes(d))
+    return f"""
+    SELECT substr(zone_id, 1, 5) AS zcta_code, zone_id,
+           lat_min, lat_max, lon_min, lon_max
+    FROM read_parquet('{d}/zones.parquet')
+    WHERE kind = 'zcta' AND substr(zone_id, 1, 3) IN ({prefixes})
+    """
+
+
+# ---------------------------------------------------------------------------
+# K6 substitute: headless choropleth classing (quantile bins per zone)
+# ---------------------------------------------------------------------------
+
+def zone_choropleth_q(sf_dir: str, n_classes: int = 5):
+    """Per-zone choropleth class table (reference K6,
+    visualization/chloropleth.py:34+ quantile classification): each
+    enriched zone gets its quantile bin of total_population.
+
+    The heavy work (enrichment join) streams; the classing itself runs
+    on one block because the zone table is the SMALL side by
+    construction (it is the map output — ~1e5 rows nationally). Class
+    boundaries replicate SQL NTILE exactly: rows sorted by
+    (value, zone_id), first n%k classes get one extra row.
+    """
+    enriched = enrich_zones_q(sf_dir) \
+        .select_columns(["zone_id", "total_population"])
+
+    def classes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["total_population"].notna()]
+        df = df.sort_values(["total_population", "zone_id"],
+                            kind="stable").reset_index(drop=True)
+        n, k = len(df), n_classes
+        q, r = divmod(n, k)
+        sizes = np.full(k, q, dtype=np.int64)
+        sizes[:r] += 1
+        return pd.DataFrame({
+            "zone_id": df["zone_id"],
+            "total_population": df["total_population"],
+            "class": np.repeat(np.arange(1, k + 1), sizes).astype(np.int64),
+        })
+
+    return enriched.repartition(1).map_batches(
+        classes, batch_format="pandas", batch_size=None)
+
+
+def zone_choropleth_sql(d: str) -> str:
+    return f"""
+    WITH clean AS (
+      SELECT geoid,
+             CASE WHEN value IN ({", ".join(str(s) for s in
+                                            scalars.SENTINEL_VALUES)})
+                    OR value < -100000 THEN NULL ELSE value END AS v
+      FROM read_parquet('{d}/demographics.parquet')
+      WHERE variable_code = 'B01003_001E'),
+    pop AS (
+      SELECT z.zone_id, SUM(clean.v) AS total_population
+      FROM read_parquet('{d}/zones.parquet') z
+      LEFT JOIN clean ON z.zone_id = clean.geoid
+      GROUP BY z.zone_id)
+    SELECT zone_id, total_population,
+           CAST(NTILE(5) OVER (ORDER BY total_population, zone_id)
+                AS BIGINT) AS class
+    FROM pop WHERE total_population IS NOT NULL
+    """
+
+
+# ---------------------------------------------------------------------------
+# ST2/K5: travel-band polygon artifact as a checkable vertex table
+# ---------------------------------------------------------------------------
+
+def band_polygons_q(sf_dir: str, n_vertices: int = 32):
+    """Per-(facility, band) isochrone-analogue polygons, emitted as a
+    vertex table so DuckDB can recompute every coordinate (reference
+    isochrone/clustering.py:388-428 builds travel-time polygons;
+    K5 exports them — the WKB artifact path is
+    stages/bands.band_polygons + sinks GeoParquetExporter).
+
+    Vertex math (identical IEEE op order in SQL): radius_km = speed*t;
+    dlat = radius/((pi/180)*R); dlon = dlat/max(cos(lat),1e-9);
+    lon_i = lon + dlon*cos(2*pi*i/n), lat_i = lat + dlat*sin(...);
+    per-row transcendental floats round to 6 on both sides.
+    """
+    from ..stages.bands import BAND_MINUTES, MODE_SPEED_KM_MIN
+
+    synth.ensure_synth(sf_dir)
+    centers = rd.read_parquet(synth.table_path(sf_dir, "band_centers"))
+    km_per_deg = (np.pi / 180.0) * geom_earth_radius()
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_c = len(df)
+        bands = np.asarray(BAND_MINUTES, dtype=np.float64)
+        idx = np.arange(n_vertices, dtype=np.float64)
+        ang = (2.0 * np.pi) * idx / float(n_vertices)
+        speed = df["travel_mode"].map(MODE_SPEED_KM_MIN).to_numpy()
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        coslat = np.maximum(np.cos(np.radians(lat)), 1e-9)
+        # broadcast (centers, bands, vertices)
+        radius = speed[:, None] * bands[None, :]             # (c, b)
+        dlat = radius / km_per_deg
+        dlon = radius / (km_per_deg * coslat[:, None])
+        lon_v = lon[:, None, None] + dlon[:, :, None] * np.cos(ang)[None, None, :]
+        lat_v = lat[:, None, None] + dlat[:, :, None] * np.sin(ang)[None, None, :]
+        n_b, n_v = len(bands), n_vertices
+        return pd.DataFrame({
+            "center_id": np.repeat(df["center_id"].to_numpy(), n_b * n_v),
+            "band": np.tile(np.repeat(bands.astype(np.int64), n_v), n_c),
+            "vertex_idx": np.tile(np.arange(n_v, dtype=np.int64), n_c * n_b),
+            "lon_r": np.round(lon_v.ravel(), 6),
+            "lat_r": np.round(lat_v.ravel(), 6),
+        })
+
+    return centers.map_batches(fn, batch_format="pandas")
+
+
+def geom_earth_radius() -> float:
+    from .. import geom
+
+    return geom.EARTH_RADIUS_KM
+
+
+def band_polygons_sql(d: str, n_vertices: int = 32) -> str:
+    from ..stages.bands import BAND_MINUTES, MODE_SPEED_KM_MIN
+
+    speeds = " ".join(
+        f"WHEN '{m}' THEN {s}" for m, s in MODE_SPEED_KM_MIN.items())
+    bands = ", ".join(str(b) for b in BAND_MINUTES)
+    return f"""
+    WITH v AS (SELECT unnest(range({n_vertices})) AS vertex_idx),
+    b AS (SELECT unnest([{bands}]) AS band),
+    c AS (
+      SELECT center_id, lat, lon,
+             CASE travel_mode {speeds} END AS speed
+      FROM read_parquet('{d}/band_centers.parquet'))
+    SELECT c.center_id, CAST(b.band AS BIGINT) AS band,
+           CAST(v.vertex_idx AS BIGINT) AS vertex_idx,
+           ROUND(c.lon + (c.speed * b.band)
+                 / ((pi()/180)*{6371.0088} * greatest(cos(radians(c.lat)), 1e-9))
+                 * cos((2*pi()) * v.vertex_idx / {n_vertices}), 6) AS lon_r,
+           ROUND(c.lat + (c.speed * b.band) / ((pi()/180)*{6371.0088})
+                 * sin((2*pi()) * v.vertex_idx / {n_vertices}), 6) AS lat_r
+    FROM c CROSS JOIN b CROSS JOIN v
+    """
+
+
+# ---------------------------------------------------------------------------
 # A4: per-kind cluster metrics (Count/Mean/Max/Min aggregates)
 # ---------------------------------------------------------------------------
 

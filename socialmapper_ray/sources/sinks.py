@@ -16,6 +16,7 @@ export/base.py:86-127): one strategy object per format.
 
 from __future__ import annotations
 
+import json
 import os
 
 
@@ -38,6 +39,54 @@ class ParquetExporter:
         return out_dir
 
 
+class GeoParquetExporter(ParquetExporter):
+    """Parquet with the GeoParquet ``geo`` schema-metadata key
+    (reference export/formats/geoparquet.py:67 writes real GeoParquet;
+    plain WKB parquet loses interop with geopandas/GDAL readers).
+    Geometry stays WKB; only file metadata is added, per the GeoParquet
+    1.0 spec layout."""
+
+    def __init__(self, geometry_column: str = "wkb", crs: str = "EPSG:4326",
+                 **kw):
+        super().__init__(**kw)
+        self.geometry_column = geometry_column
+        self.crs = crs
+
+    def geo_metadata(self) -> bytes:
+        return json.dumps({
+            "version": "1.0.0",
+            "primary_column": self.geometry_column,
+            "columns": {self.geometry_column: {
+                "encoding": "WKB",
+                "geometry_types": [],
+                "crs": self.crs,
+            }},
+        }).encode()
+
+    def export(self, ds, out_dir: str, columns: list[str] | None = None,
+               exclude: list[str] | None = None) -> str:
+        import pyarrow as pa
+
+        ds = project(ds, columns, exclude)
+        meta = self.geo_metadata()
+        gcol = self.geometry_column
+
+        def attach(t: pa.Table) -> pa.Table:
+            if gcol not in t.schema.names:
+                raise ValueError(f"geometry column {gcol!r} missing "
+                                 f"from {t.schema.names}")
+            existing = dict(t.schema.metadata or {})
+            existing[b"geo"] = meta
+            return t.replace_schema_metadata(existing)
+
+        kw = {"compression": self.compression}
+        if self.min_rows_per_file:
+            kw["min_rows_per_file"] = self.min_rows_per_file
+        ds.map_batches(attach, batch_format="pyarrow") \
+            .write_parquet(out_dir, **kw)
+        return out_dir
+
+
 class CsvExporter:
     file_extension = "csv"
     supports_geometry = False  # geometry columns are excluded (K1 rule)
@@ -54,7 +103,8 @@ class CsvExporter:
         return out_dir
 
 
-EXPORTERS = {"parquet": ParquetExporter, "csv": CsvExporter}
+EXPORTERS = {"parquet": ParquetExporter, "geoparquet": GeoParquetExporter,
+             "csv": CsvExporter}
 
 
 def project(ds, columns: list[str] | None = None,

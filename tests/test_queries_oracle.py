@@ -38,7 +38,10 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
                      ("zone_centroids", sp.zone_centroids_sql),
                      ("zone_neighbors", sp.zone_neighbors_sql),
                      ("tract_semijoin", sp.tract_semijoin_sql),
-                     ("zone_kind_stats", sp.zone_kind_stats_sql)):
+                     ("zone_kind_stats", sp.zone_kind_stats_sql),
+                     ("zcta_by_prefix", sp.zcta_by_prefix_sql),
+                     ("zone_choropleth", sp.zone_choropleth_sql),
+                     ("band_polygons", sp.band_polygons_sql)):
         oracles[name] = fn(d)
     return oracles
 

@@ -112,3 +112,36 @@ def test_multimodal_fake_decoder(ray_session):
 def test_real_decoder_raises():
     with pytest.raises(NotImplementedError, match="decode libraries"):
         multimodal.RealDecoder()
+
+
+def test_geoparquet_export_metadata(ray_session):
+    """K5/K2: the geoparquet exporter writes the GeoParquet 1.0 'geo'
+    schema metadata key so geopandas/GDAL readers recognise the WKB
+    column (reference export/formats/geoparquet.py:67)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from socialmapper_ray.sources import sinks
+    from socialmapper_ray.stages import bands
+
+    centers = pq.read_table(synth.table_path(SF, "band_centers")) \
+        .to_pandas().head(4)
+    polys = bands.band_polygons(centers)
+    out = os.path.join(TMP, "band_polys")
+    sinks.export(rd.from_pandas(polys), out, fmt="geoparquet")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    meta = pq.ParquetFile(os.path.join(out, files[0])).schema_arrow.metadata
+    geo = json.loads(meta[b"geo"])
+    assert geo["primary_column"] == "wkb"
+    assert geo["columns"]["wkb"]["encoding"] == "WKB"
+    # round-trip: WKB survives and decodes
+    back = pq.read_table(os.path.join(out, files[0])).to_pandas()
+    _, coords = geom.wkb_decode(back["wkb"].iloc[0])
+    assert coords.shape[1] == 2
+
+    # missing geometry column is a loud error
+    with pytest.raises(Exception, match="geometry column"):
+        sinks.export(rd.from_pandas(polys.drop(columns=["wkb"])),
+                     os.path.join(TMP, "nope"), fmt="geoparquet")
