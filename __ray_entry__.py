@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "sessionize": rel.sessionize,
         "top_events_by_value": rel.top_events_by_value,
+        "top_events_per_type": rel.top_events_per_type,
+        "events_median_by_type": rel.events_median_by_type,
         "nation_rollup": rel.nation_rollup,
         "lang_counts": rel.lang_counts,
         "union_all_docs": rel.union_all_docs,
@@ -133,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "sessionize": rel.SESSIONIZE_SQL,
         "top_events_by_value": rel.TOP_EVENTS_SQL,
+        "top_events_per_type": rel.TOP_EVENTS_PER_TYPE_SQL,
+        "events_median_by_type": rel.EVENTS_MEDIAN_SQL,
         "nation_rollup": rel.NATION_ROLLUP_SQL,
         "lang_counts": rel.LANG_COUNTS_SQL,
         "union_all_docs": rel.UNION_ALL_SQL,

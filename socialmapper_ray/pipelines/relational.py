@@ -363,6 +363,98 @@ FROM events ORDER BY value DESC, event_id LIMIT 20
 """
 
 
+def top_events_per_type(sf_dir: str, k: int = 5):
+    """Grouped top-k (top k events by value PER event_type) — the
+    windowed O3 variant. Per-batch partial top-k per group (vectorized
+    sort + groupby head) bounds the exchange to k rows per (group,
+    batch); the tiny final combine re-ranks. Deterministic tiebreak on
+    event_id, mirrored in the SQL window ORDER BY.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"],
+                            ascending=[False, True], kind="stable")
+        return df.groupby("event_type", sort=False).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"],
+                            ascending=[False, True], kind="stable")
+        df = df.groupby("event_type", sort=False).head(k).copy()
+        df["rank"] = df.groupby("event_type", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "rank": df["rank"].astype(np.int64),
+            "event_id": df["event_id"].astype(np.int64),
+            "value": df["value"].round(6),
+        }).reset_index(drop=True)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+TOP_EVENTS_PER_TYPE_SQL = """
+SELECT event_type,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id) AS BIGINT)
+         AS rank,
+       event_id, ROUND(value, 6) AS value
+FROM events
+QUALIFY rank <= 5
+"""
+
+
+def events_median_by_type(sf_dir: str):
+    """EXACT distributed median per group without collecting values.
+
+    Event values are 4-decimal quantized, so the distribution reduces
+    losslessly to a histogram of int64 e4 keys: per-batch counts ->
+    one small combine keyed by (group, value_e4) -> cumulative-count
+    walk reads off the exact median. The exchange moves one row per
+    distinct (group, value) per batch — never the event stream. (For
+    unquantized data the scale path is a mergeable quantile sketch;
+    for quantized data this IS exact.) Median is emitted doubled
+    (``median_x2_e4``) so the even-count midpoint stays an integer.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(v=(df["value"] * 10000).round().astype(np.int64))
+        return df.groupby(["event_type", "v"], sort=False) \
+                 .size().reset_index(name="n")
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["event_type", "v"], sort=False)["n"].sum() \
+               .reset_index()
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("v")
+            n = int(g["n"].sum())
+            c = g["n"].cumsum().to_numpy()
+            v = g["v"].to_numpy()
+            if n % 2:
+                m2 = 2 * int(v[np.searchsorted(c, (n + 1) // 2)])
+            else:
+                m2 = int(v[np.searchsorted(c, n // 2)]) \
+                    + int(v[np.searchsorted(c, n // 2 + 1)])
+            rows.append((et, n, m2))
+        return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                           "median_x2_e4"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(med, batch_format="pandas", batch_size=None)
+
+
+EVENTS_MEDIAN_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(round(median(CAST(round(value * 10000, 0) AS BIGINT)) * 2, 0)
+            AS BIGINT) AS median_x2_e4
+FROM events GROUP BY event_type
+"""
+
+
 def nation_rollup(sf_dir: str):
     """Two-hop broadcast join customer -> nation -> region + grouped agg
     (reference J6 neighbor-lookup flavour: tiny static dimension join)."""

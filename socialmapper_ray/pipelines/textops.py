@@ -63,7 +63,7 @@ def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
     reaches the driver (stages/dedup.py verify_pairs_distributed).
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = dedup_mod.candidate_pairs(ds)
+    cands = dedup_mod.candidate_pairs(ds, combine=False)
     out = dedup_mod.verify_pairs_distributed(cands, ds,
                                              threshold=threshold)
     out = out.to_pandas()
@@ -84,7 +84,7 @@ def ngram_jaccard_pairs_q(sf_dir: str, threshold: float = 0.7):
     verify — no full-corpus driver read, no all-pairs matmul.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = dedup_mod.candidate_pairs(ds)
+    cands = dedup_mod.candidate_pairs(ds, combine=False)
     out = dedup_mod.verify_pairs_distributed(
         cands, ds, threshold=threshold, feature="char_ngram")
     out = out.to_pandas()

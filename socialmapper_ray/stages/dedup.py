@@ -252,7 +252,8 @@ def _pairs_from_sorted_groups(grp_a: np.ndarray, grp_b: np.ndarray,
 
 
 def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                    n_buckets: int = 64, group_cap: int = 256):
+                    n_buckets: int = 64, group_cap: int = 256,
+                    combine: bool = True):
     """LSH candidate pairs (a < b) with a band-occurrence count.
 
     Fully distributed: band rows are hash-bucketed by (band_id,
@@ -293,8 +294,14 @@ def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     partials = bands.groupby("__bucket").map_groups(
         emit_bucket, batch_format="pandas")
+    if not combine:
+        # per-bucket partials: a pair co-occurring in bands of different
+        # buckets appears once per bucket (callers that only need the
+        # candidate SET — e.g. the verifier — dedupe the small pair list
+        # themselves and save this exchange)
+        return partials
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def combine_fn(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
         out = df.groupby(["a", "b"], sort=False)["n_bands"].sum() \
@@ -303,7 +310,7 @@ def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return out
 
     return partials.repartition(1).map_batches(
-        combine, batch_format="pandas", batch_size=None)
+        combine_fn, batch_format="pandas", batch_size=None)
 
 
 def jaccard(a_sh: np.ndarray, b_sh: np.ndarray) -> float:
@@ -406,6 +413,7 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
     from .hash_join import hash_join
 
     cand_df = cands.to_pandas() if hasattr(cands, "to_pandas") else cands
+    cand_df = cand_df.drop_duplicates(["a", "b"])
     empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
                           "b": pd.Series(dtype=np.int64),
                           "jaccard": pd.Series(dtype=np.float64)})
@@ -595,7 +603,7 @@ def minhash_dedup_keep(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     import ray
 
-    cands = candidate_pairs(ds, id_col, text_col)
+    cands = candidate_pairs(ds, id_col, text_col, combine=False)
     verified = verify_pairs_distributed(
         cands, ds, id_col=id_col, text_col=text_col, threshold=threshold)
     vdf = verified.to_pandas()
