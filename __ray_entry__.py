@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_kind_stats": sp.zone_kind_stats_q,
         "zones_union": sp.zones_union_q,
         "zcta_by_prefix": sp.zcta_by_prefix_q,
+        "geocode_pois": sp.geocode_pois_q,
         "zone_choropleth": sp.zone_choropleth_q,
         "band_polygons": sp.band_polygons_q,
         # --- relational wide ops (groupby/join/sort/limit/window)
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "tract_semijoin": sp.tract_semijoin_sql(d),
         "zone_kind_stats": sp.zone_kind_stats_sql(d),
         "zcta_by_prefix": sp.zcta_by_prefix_sql(d),
+        "geocode_pois": sp.geocode_pois_sql(d),
         "zone_choropleth": sp.zone_choropleth_sql(d),
         "band_polygons": sp.band_polygons_sql(d),
         "q1_pricing_summary": rel.Q1_SQL,

@@ -108,7 +108,8 @@ def main():
                      ("zone_kind_stats", sp.zone_kind_stats_sql),
                      ("zcta_by_prefix", sp.zcta_by_prefix_sql),
                      ("zone_choropleth", sp.zone_choropleth_sql),
-                     ("band_polygons", sp.band_polygons_sql)):
+                     ("band_polygons", sp.band_polygons_sql),
+                     ("geocode_pois", sp.geocode_pois_sql)):
         oracles[name] = fn(d)
 
     con = duckdb.connect()

@@ -556,6 +556,65 @@ def zcta_by_prefix_sql(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# S7/ST4: geocoding through the provider chain against a gazetteer
+# ---------------------------------------------------------------------------
+
+def geocode_pois_q(sf_dir: str):
+    """Geocode extracted POI names through the provider-chain engine
+    (reference S7 AddressGeocodingEngine, geocoding/engine.py:52-175,
+    + ST4 cache): the primary provider is a broadcast gazetteer built
+    from the ground-truth POI database (name -> coords of the min
+    doc_id occurrence), with the deterministic hash provider as the
+    fallback for misses; the actor-local cache absorbs repeated names.
+    SQL oracle: the equivalent arg_min-gazetteer join.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..stages import geocode as geocode_mod
+
+    d = synth.ensure_synth(sf_dir)
+    gaz = pq.read_table(f"{d}/pois_truth.parquet",
+                        columns=["name", "lat", "lon", "doc_id",
+                                 "has_geo"]).to_pandas()
+    gaz = gaz[gaz["has_geo"]].sort_values("doc_id", kind="stable") \
+        .drop_duplicates("name").sort_values("name")
+    gaz_ref = ray.put((gaz["name"].to_numpy(), gaz["lat"].to_numpy(),
+                       gaz["lon"].to_numpy()))
+
+    ds = _extracted_valid(sf_dir).select_columns(["url", "name"])
+    out = geocode_mod.geocode_addresses(
+        ds, address_col="name",
+        providers=[geocode_mod.GazetteerGeocoder(gaz_ref),
+                   geocode_mod.HashGeocoder()])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": df["url"], "name": df["name"],
+            "lat_r": df["lat"].round(6), "lon_r": df["lon"].round(6),
+            "provider": df["provider"],
+        })
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def geocode_pois_sql(d: str) -> str:
+    return f"""
+    WITH gaz AS (
+      SELECT name, arg_min(lat, doc_id) AS lat, arg_min(lon, doc_id) AS lon
+      FROM read_parquet('{d}/pois_truth.parquet') WHERE has_geo
+      GROUP BY name)
+    SELECT q.url, q.name,
+           ROUND(g.lat, 6) AS lat_r, ROUND(g.lon, 6) AS lon_r,
+           'gazetteer' AS provider
+    FROM (SELECT url, name FROM read_parquet('{d}/pois_truth.parquet')
+          WHERE has_geo) q
+    JOIN gaz g ON q.name = g.name
+    """
+
+
+# ---------------------------------------------------------------------------
 # K6 substitute: headless choropleth classing (quantile bins per zone)
 # ---------------------------------------------------------------------------
 

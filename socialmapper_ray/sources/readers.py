@@ -88,3 +88,40 @@ def convert_csv_to_parquet(src: str, dst: str,
     materialisation, unlike the reference's in-process chunk loop)."""
     rd.read_csv(src).write_parquet(dst, compression=compression)
     return dst
+
+
+PAGE_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def read_jsonl_pages(path: str, strict: bool = False):
+    """JSON-lines page source (the Common-Crawl-style corpus interchange
+    format; BASELINE.json input_hint schema ``url, warc_ts, html, text,
+    lang``). Ray's JSON reader streams line-delimited files; this
+    normalizer projects/para-fills to the canonical page schema so a
+    JSONL drop-in behaves exactly like the parquet pages source.
+
+    strict=True raises on missing columns instead of filling defaults.
+    """
+    ds = rd.read_json(path)
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        missing = [c for c in PAGE_COLUMNS if c not in df.columns]
+        if missing and strict:
+            raise ValueError(f"jsonl pages missing columns {missing}")
+        out = pd.DataFrame(index=df.index)
+        for c in PAGE_COLUMNS:
+            out[c] = df[c].astype(str) if c in df.columns else ""
+        # canonical pages schema stores html as utf-8 bytes (parquet
+        # binary); JSONL carries it as a string
+        out["html"] = out["html"].str.encode("utf-8")
+        return out
+
+    return ds.map_batches(normalize, batch_format="pandas")
+
+
+def convert_jsonl_to_parquet(src: str, dst: str,
+                             compression: str = "snappy") -> str:
+    """Streaming JSONL -> Parquet (K3 for the webtext interchange
+    format): lazy read chained to a write, pipelined with backpressure."""
+    read_jsonl_pages(src).write_parquet(dst, compression=compression)
+    return dst

@@ -59,6 +59,34 @@ class HashGeocoder(GeocodeProvider):
                 LON_MIN + u2 * (LON_MAX - LON_MIN))
 
 
+class GazetteerGeocoder(GeocodeProvider):
+    """Reference-database provider: resolves names against a broadcast
+    gazetteer (sorted name array + coordinates, ``ray.put`` once, read
+    per actor). This is the offline analogue of the reference's primary
+    provider hitting a geocoding database (geocoding/providers.py:22-60)
+    — the lookup itself is a binary search, the dataset side streams,
+    and misses fall through to the next provider in the chain."""
+
+    name = "gazetteer"
+
+    def __init__(self, gazetteer_ref):
+        self.ref = gazetteer_ref
+        self._names = None
+
+    def _ensure(self):
+        if self._names is None:
+            import ray
+
+            self._names, self._lat, self._lon = ray.get(self.ref)
+
+    def geocode(self, address: str):
+        self._ensure()
+        i = int(np.searchsorted(self._names, address))
+        if i < len(self._names) and self._names[i] == address:
+            return float(self._lat[i]), float(self._lon[i])
+        return None
+
+
 class FlakyGeocoder(GeocodeProvider):
     """Fails on a deterministic subset of addresses (fallback exercise)."""
 
@@ -109,13 +137,14 @@ class GeocodeEngine:
         return out
 
 
-def geocode_addresses(ds, address_col: str = "address", concurrency=2,
-                      batch_size: int = 2048):
+def geocode_addresses(ds, address_col: str = "address", providers=None,
+                      concurrency=2, batch_size: int = 2048):
     from ..util import clamp_concurrency
 
     concurrency = clamp_concurrency(concurrency, 0.5)
     return ds.map_batches(
         GeocodeEngine,
-        fn_constructor_kwargs=dict(address_col=address_col),
+        fn_constructor_kwargs=dict(address_col=address_col,
+                                   providers=providers),
         batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, num_cpus=0.5)

@@ -145,3 +145,47 @@ def test_geoparquet_export_metadata(ray_session):
     with pytest.raises(Exception, match="geometry column"):
         sinks.export(rd.from_pandas(polys.drop(columns=["wkb"])),
                      os.path.join(TMP, "nope"), fmt="geoparquet")
+
+
+def test_jsonl_pages_roundtrip(ray_session):
+    """JSONL page source reads the interchange schema and matches the
+    parquet source row-for-row; the streaming converter round-trips."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    d = synth.ensure_synth(SF)
+    pages = pq.read_table(os.path.join(d, "pages.parquet")).to_pandas() \
+        .head(50)
+    src = os.path.join(TMP, "pages.jsonl")
+    with open(src, "w") as f:
+        for r in pages.itertuples(index=False):
+            html = r.html.decode("utf-8") if isinstance(r.html, bytes) \
+                else r.html
+            f.write(_json.dumps({"url": r.url, "warc_ts": str(r.warc_ts),
+                                 "html": html, "text": r.text,
+                                 "lang": r.lang}) + "\n")
+    back = readers.read_jsonl_pages(src).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = pages.sort_values("url").reset_index(drop=True)
+    assert list(back.columns) == list(readers.PAGE_COLUMNS)
+    assert (back["url"] == want["url"]).all()
+    want_html = want["html"].map(
+        lambda h: h if isinstance(h, bytes) else h.encode("utf-8"))
+    assert (back["html"] == want_html).all()
+
+    dst = os.path.join(TMP, "pages_pq")
+    readers.convert_jsonl_to_parquet(src, dst)
+    again = rd.read_parquet(dst).to_pandas()
+    assert len(again) == len(pages)
+
+    # extraction over the JSONL source == extraction over parquet
+    from socialmapper_ray.stages import extract
+    a = extract.extract_pois(readers.read_jsonl_pages(src)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    import ray.data as _rd
+    b = extract.extract_pois(_rd.read_parquet(os.path.join(d, "pages.parquet"))
+                             .limit(0).union(_rd.from_pandas(pages))) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert (a["url"] == b["url"]).all()
+    assert (a["valid"].to_numpy() == b["valid"].to_numpy()).all()
