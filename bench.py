@@ -167,10 +167,17 @@ def run_scaling() -> dict:
     # 32 threads, and a pure-CPU calibration (multiprocessing busy
     # loops) scales 4->16 procs at 0.96 efficiency but 8->32 at only
     # 0.79 (hyperthread sharing). 4 vs 16 measures the ENGINE's
-    # scaling, not SMT arithmetic.
+    # scaling, not SMT arithmetic. Each level runs in TWO fresh
+    # processes (interleaved lo/hi/lo/hi) and takes the min — single
+    # process-level runs showed +-15% drift from box state, larger
+    # than the effect being measured.
     lo_cpus, hi_cpus = 4, 16
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    lo1 = run(lo_cpus)
+    hi1 = run(hi_cpus)
+    lo2 = run(lo_cpus)
+    hi2 = run(hi_cpus)
+    lo = lo1 if lo1["value"] <= lo2["value"] else lo2
+    hi = hi1 if hi1["value"] <= hi2["value"] else hi2
     t_lo, t_hi = lo["value"], hi["value"]
     # efficiency of the speedup relative to the cpu ratio
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)

@@ -44,8 +44,18 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
 
     def prep(side: str, cols: list[str], key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({c: df[c] if c in cols else pd.NA
-                                for c in all_cols})
+            n = len(df)
+            out = {}
+            for c in all_cols:
+                if c in cols:
+                    out[c] = df[c].reset_index(drop=True)
+                else:
+                    # typed NA fill: an all-pd.NA object column makes the
+                    # two sides' block schemas disagree (object vs int64),
+                    # which Ray logs per bundle and shuffles as pickled
+                    # python objects; a float64-NaN column unifies cleanly
+                    out[c] = pd.Series(np.full(n, np.nan), dtype=np.float64)
+            out = pd.DataFrame(out)
             out["__bucket"] = _bucket_of(df[key].to_numpy(), n_buckets)
             out["__side"] = side
             return out

@@ -194,3 +194,22 @@ def test_char_ngram_jaccard_matches_sets(docs):
             if true_j(texts[x], texts[y]) >= 0.4:
                 lo, hi = sorted((ids[x], ids[y]))
                 assert ((out["a"] == lo) & (out["b"] == hi)).any()
+
+
+def test_connected_components_distributed_matches(ray_session):
+    """The Dataset-native label propagation (bucketed joins + pointer
+    jump) must produce the same components as the in-memory version on
+    a graph with a long chain, branches, and singleton-free islands."""
+    import ray.data as rd
+
+    pairs = pd.DataFrame({
+        "a": [0, 1, 2, 3, 4, 10, 11, 20, 30, 31, 32, 33, 34, 35],
+        "b": [1, 2, 3, 4, 5, 11, 12, 21, 31, 32, 33, 34, 35, 36],
+    }).astype(np.int64)
+    nodes = np.unique(pairs[["a", "b"]].to_numpy())
+    want = dedup.connected_components(pairs, nodes) \
+        .sort_values("node").reset_index(drop=True)
+    got = dedup.connected_components_distributed(rd.from_pandas(pairs)) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+    assert (got["component"].to_numpy() == want["component"].to_numpy()).all()
