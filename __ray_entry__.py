@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": rel.order_lineitem_join,
         "order_lineitem_join_native": rel.order_lineitem_join_native,
         "dedup_events_first": rel.dedup_events_first,
+        "asof_purchase": rel.asof_purchase,
+        "orders_without_lineitem": rel.orders_without_lineitem,
+        "event_type_reach": rel.event_type_reach,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -91,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": tp.ann_topk_lsh_q,
         "ann_topk_ivf": tp.ann_topk_ivf_q,
         "sample_docs": tp.sample_docs_q,
+        "sample_docs_hash": tp.sample_docs_hash_q,
         "text_quality": tp.text_quality_q,
         "lang_id": tp.lang_id_q,
         "ann_topk": tp.ann_topk_q,
@@ -146,6 +150,10 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_join": rel.ORDER_LINEITEM_JOIN_SQL,
         "order_lineitem_join_native": rel.ORDER_LINEITEM_JOIN_SQL,
         "dedup_events_first": rel.DEDUP_EVENTS_FIRST_SQL,
+        "asof_purchase": rel.ASOF_PURCHASE_SQL,
+        "orders_without_lineitem": rel.ORDERS_WITHOUT_LINEITEM_SQL,
+        "event_type_reach": rel.EVENT_TYPE_REACH_SQL,
+        "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),

@@ -707,3 +707,164 @@ def lang_counts(sf_dir: str):
 LANG_COUNTS_SQL = """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
 """
+
+
+def asof_purchase(sf_dir: str):
+    """As-of join: for each click, the most recent purchase by the same
+    user at or before the click timestamp (inner; clicks with no prior
+    purchase drop).
+
+    Ray Data has no as-of join; the engine composes one: bucket BOTH
+    event streams by user hash (one all-to-all exchange total), then
+    inside each bucket a ts-sorted ``pd.merge_asof(by=user)`` — the
+    textbook partition-by-key + local-merge as-of. Scale: the exchange
+    is hash-partitioned on the equality key, so each bucket holds a
+    user-disjoint slice; skewed users salt like exact_dedup_salted.
+    (user_id, ts) is unique in events, so the match is deterministic.
+    Reference analogue: nearest-preceding lookup in the travel-time
+    cache (socialmapper/isochrone/travel.py time-bucket reuse).
+    """
+    from ..stages.hash_join import _bucket_of
+
+    n_buckets = 16
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin(["click", "purchase"])
+        df = df.loc[m, ["event_id", "user_id", "ts",
+                        "event_type", "value"]].copy()
+        df["__bucket"] = _bucket_of(df["user_id"].to_numpy(), n_buckets)
+        return df
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["event_type"] == "click",
+                     ["event_id", "user_id", "ts"]].sort_values("ts")
+        right = g.loc[g["event_type"] == "purchase",
+                      ["user_id", "ts", "value"]].sort_values("ts")
+        # merge_asof consumes the right "ts" as the join key; carry the
+        # purchase timestamp through as an explicit value column
+        right = right.assign(p_ts=right["ts"])
+        cols = ["event_id", "user_id", "click_ts", "purchase_ts",
+                "wait_us", "purchase_value"]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=cols)
+        m = pd.merge_asof(left, right, on="ts", by="user_id",
+                          direction="backward", allow_exact_matches=True)
+        m = m.dropna(subset=["value"])
+        click_us = m["ts"].astype("datetime64[us]").to_numpy().view(np.int64)
+        purch_us = m["p_ts"].astype("datetime64[us]").to_numpy() \
+            .view(np.int64)
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype(np.int64),
+            "user_id": m["user_id"].astype(np.int64),
+            "click_ts": m["ts"],
+            "purchase_ts": m["p_ts"],
+            "wait_us": click_us - purch_us,
+            "purchase_value": m["value"].round(6),
+        })
+
+    return ds.map_batches(prep, batch_format="pandas") \
+        .groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
+ASOF_PURCHASE_SQL = """
+SELECT e.event_id, e.user_id, e.ts AS click_ts, p.ts AS purchase_ts,
+       CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS wait_us,
+       ROUND(p.value, 6) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') e
+ASOF JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def orders_without_lineitem(sf_dir: str):
+    """Anti-join: orders with no lineitem rows (both sides large, so no
+    broadcast — ONE bucketed exchange, per-bucket key-set difference).
+
+    The probe side pre-dedups l_orderkey per batch (combiner), so the
+    exchange carries at most one key per (batch, key), never the
+    lineitem stream. Reference analogue: the invalid-coordinate side
+    channel (filter-by-absence) in pipeline/coordinate_validation.py.
+    """
+    from ..stages.hash_join import _bucket_of
+
+    n_buckets = 16
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": df["o_orderkey"].astype(np.int64),
+            "o_custkey": df["o_custkey"].astype(np.float64),
+            "o_totalprice_e2": (df["o_totalprice"] * 100).round(),
+            "probe": np.zeros(len(df), dtype=np.int64),
+        })
+        out["__bucket"] = _bucket_of(out["key"].to_numpy(), n_buckets)
+        return out
+
+    def prep_line(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(df["l_orderkey"].to_numpy(np.int64))
+        out = pd.DataFrame({
+            "key": keys,
+            "o_custkey": np.full(len(keys), np.nan),
+            "o_totalprice_e2": np.full(len(keys), np.nan),
+            "probe": np.ones(len(keys), dtype=np.int64),
+        })
+        out["__bucket"] = _bucket_of(keys, n_buckets)
+        return out
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g.loc[g["probe"] == 1, "key"].to_numpy()
+        build = g.loc[g["probe"] == 0]
+        keep = build.loc[~build["key"].isin(probe)]
+        return pd.DataFrame({
+            "o_orderkey": keep["key"].astype(np.int64),
+            "o_custkey": keep["o_custkey"].astype(np.int64),
+            "o_totalprice_e2": keep["o_totalprice_e2"].astype(np.int64),
+        })
+
+    return orders.map_batches(prep_orders, batch_format="pandas") \
+        .union(line.map_batches(prep_line, batch_format="pandas")) \
+        .groupby("__bucket").map_groups(anti_bucket, batch_format="pandas")
+
+
+ORDERS_WITHOUT_LINEITEM_SQL = """
+SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_e2
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def event_type_reach(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type — distributed distinct:
+    per-batch (type, user) dedup (combiner) shrinks the exchange to
+    distinct pairs per batch, then one groupby counts uniques per type
+    vectorized. For user cardinalities that outgrow a group block, the
+    scale path is a second-level exchange keyed on (type, user) — same
+    machinery as dedup.exact_dedup.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def reach(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": np.int64(g["user_id"].nunique()),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").map_groups(reach, batch_format="pandas")
+
+
+EVENT_TYPE_REACH_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""

@@ -362,3 +362,36 @@ SELECT query_id, vec_id,
 FROM s
 QUALIFY rank <= 10
 """
+
+
+def sample_docs_hash_q(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling — the SQL-reproducible O1 variant
+    (reference seeded sampling, pipeline/extraction.py:254-266).
+
+    Membership is a pure function of the row key (32-bit LCG step on
+    doc_id), so the sample is stable under any repartitioning, resume,
+    or engine — the property a 100 TB pipeline needs so re-runs and
+    backfills pick the same rows. All arithmetic stays below 2^63
+    ((2^32-1) * 1103515245 < 2^63), so int64 on both engines is exact.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = ((ids % 4294967296) * 1103515245 + 12345) % 4294967296
+        keep = (h % 100) < pct
+        out = df.loc[keep]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype(np.int64),
+            "lang": out["lang"],
+            "n_chars": out["n_chars"].astype(np.int64),
+        })
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+SAMPLE_DOCS_HASH_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 % 100 < 10
+"""
