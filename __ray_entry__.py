@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_pois": sp.geocode_pois_q,
         "zone_choropleth": sp.zone_choropleth_q,
         "band_polygons": sp.band_polygons_q,
+        "network_bands": sp.network_bands_q,
         # --- relational wide ops (groupby/join/sort/limit/window)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_pois": sp.geocode_pois_sql(d),
         "zone_choropleth": sp.zone_choropleth_sql(d),
         "band_polygons": sp.band_polygons_sql(d),
+        "network_bands": sp.network_bands_sql(d),
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "q6_forecast_revenue": rel.Q6_SQL,

@@ -790,3 +790,56 @@ def zone_kind_stats_sql(d: str) -> str:
            CAST(MIN(n_vertices) AS BIGINT) AS min_vertices
     FROM read_parquet('{d}/zones.parquet') GROUP BY kind
     """
+
+
+# ---------------------------------------------------------------------------
+# Network-based isochrone bands (true ST2: shortest paths on a road graph)
+# ---------------------------------------------------------------------------
+
+def network_bands_q(sf_dir: str):
+    """Travel-time bands via shortest paths over the synthetic road
+    lattice (reference isochrone/clustering.py:335-432): per band
+    center, every network node within the 900 s horizon with its exact
+    network distance and 300 s band.
+
+    Graph broadcast once (edges_ref); sources stream through the
+    NetworkBandRouter actor pool. The SQL oracle recomputes the same
+    distances with a DuckDB recursive CTE — a fully independent
+    shortest-path implementation.
+    """
+    from ..stages import network as net_mod
+
+    d = synth.ensure_synth(sf_dir)
+    edges_ref = net_mod.edges_ref_from_parquet(
+        synth.table_path(sf_dir, "road_edges"))
+    sources = rd.read_parquet(synth.table_path(sf_dir, "road_sources"),
+                              override_num_blocks=8)
+    out = net_mod.network_bands(sources, edges_ref)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "center_id": df["center_id"],
+            "node_id": df["node_id"].astype(np.int64),
+            "dist_s": df["dist_s"].astype(np.int64),
+            "band": df["band"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def network_bands_sql(d: str) -> str:
+    from ..stages import network as net_mod
+
+    cap, band = net_mod.MAX_DIST_S, net_mod.BAND_S
+    return f"""
+    WITH RECURSIVE sp(center_id, node, dist) AS (
+      SELECT center_id, node_id, 0
+      FROM read_parquet('{d}/road_sources.parquet')
+      UNION
+      SELECT sp.center_id, e.dst, sp.dist + e.w_s
+      FROM sp JOIN read_parquet('{d}/road_edges.parquet') e
+        ON sp.node = e.src
+      WHERE sp.dist + e.w_s <= {cap}
+    )
+    SELECT center_id, CAST(node AS BIGINT) AS node_id,
+           CAST(MIN(dist) AS BIGINT) AS dist_s,
+           CAST(MIN(dist) // {band} AS BIGINT) AS band
+    FROM sp GROUP BY center_id, node
+    """

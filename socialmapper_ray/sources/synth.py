@@ -40,7 +40,7 @@ SYNTH_ROOT = "/tmp/smray_synth"
 
 #: bump when generator output changes shape/content — stale cached
 #: worlds under /tmp regenerate instead of poisoning oracle runs
-SYNTH_VERSION = "4"
+SYNTH_VERSION = "5"
 
 # World bbox (CONUS-ish, mid-latitudes)
 LAT_MIN, LAT_MAX = 25.0, 49.0
@@ -329,12 +329,70 @@ def build_band_centers(n_centers: int) -> pa.Table:
     })
 
 
+ROAD_GRID = 24  # grid side: 576 nodes, 2208 directed edges
+
+
+def build_road_network(centers: pa.Table):
+    """Synthetic road network for true network-based isochrones
+    (reference isochrone/clustering.py:335-432 builds travel-time
+    polygons from an OSMnx road graph; offline, the graph itself must
+    be synthesised).
+
+    A ROAD_GRID x ROAD_GRID lattice over the world bbox; every
+    4-neighbor edge is bidirectional with a deterministic integer
+    travel time 60..299 s (splitmix64 of the undirected edge ordinal —
+    same weight both directions). Sources are the band centers snapped
+    to their nearest lattice node (vectorized argmin, equirectangular
+    metric — the snap is part of the generated ground truth, so the
+    engine and the SQL oracle share the same source set but compute
+    shortest paths through INDEPENDENT code paths).
+
+    Returns (nodes, edges, sources) tables.
+    """
+    g = ROAD_GRID
+    idx = np.arange(g * g, dtype=np.int64)
+    row, col = idx // g, idx % g
+    lat = LAT_MIN + (LAT_MAX - LAT_MIN) * (row + 0.5) / g
+    lon = LON_MIN + (LON_MAX - LON_MIN) * (col + 0.5) / g
+    nodes = pa.table({
+        "node_id": pa.array(idx),
+        "lat": pa.array(lat, pa.float64()),
+        "lon": pa.array(lon, pa.float64()),
+    })
+
+    # undirected 4-neighbor edges: east (row, col->col+1), south
+    east_src = idx[col < g - 1]
+    south_src = idx[row < g - 1]
+    u = np.concatenate([east_src, south_src])
+    v = np.concatenate([east_src + 1, south_src + g])
+    w = (_U(60) + splitmix64(np.arange(len(u), dtype=np.uint64)
+                             + _U(777000)) % _U(240)).astype(np.int64)
+    edges = pa.table({
+        "src": pa.array(np.concatenate([u, v])),
+        "dst": pa.array(np.concatenate([v, u])),
+        "w_s": pa.array(np.concatenate([w, w])),
+    })
+
+    clat = np.asarray(centers["lat"].to_numpy(zero_copy_only=False))
+    clon = np.asarray(centers["lon"].to_numpy(zero_copy_only=False))
+    d2 = ((clat[:, None] - lat[None, :]) ** 2
+          + ((clon[:, None] - lon[None, :])
+             * np.cos(np.radians(clat[:, None]))) ** 2)
+    snap = idx[np.argmin(d2, axis=1)]
+    sources = pa.table({
+        "center_id": centers["center_id"],
+        "node_id": pa.array(snap),
+    })
+    return nodes, edges, sources
+
+
 # ---------------------------------------------------------------------------
 # Materialisation (idempotent, per sf dir)
 # ---------------------------------------------------------------------------
 
 TABLES = ("pages", "pois_truth", "zones", "zone_edges", "demographics",
-          "band_centers", "zones_star", "zone_star_edges")
+          "band_centers", "zones_star", "zone_star_edges",
+          "road_nodes", "road_edges", "road_sources")
 
 
 def build_custom_coords_csv(truth: pa.Table, n: int = 200) -> str:
@@ -424,11 +482,13 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
     zones_star, star_edges = build_zones_star(max(20, n_zones // 4))
     demo = build_demographics(zones["zone_id"].to_pylist())
     centers = build_band_centers(n_centers)
+    road_nodes, road_edges, road_sources = build_road_network(centers)
 
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     for name, tbl in zip(TABLES, (pages, truth, zones, edges, demo, centers,
-                                  zones_star, star_edges)):
+                                  zones_star, star_edges,
+                                  road_nodes, road_edges, road_sources)):
         if name == "pages":
             # pages is the big streamed input: write a DIRECTORY of
             # files so the Ray parquet reader plans one read task per

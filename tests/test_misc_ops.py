@@ -209,3 +209,45 @@ def test_band_polygons_artifact():
             assert inside[0]
             widths.append(coords[:, 0].max() - coords[:, 0].min())
         assert widths == sorted(widths)  # bigger band -> bigger ring
+
+
+def test_sssp_kernel_matches_dijkstra():
+    """Vectorized Bellman-Ford kernel vs a heapq Dijkstra written here
+    (independent implementation) on a random-weight lattice."""
+    import heapq
+
+    from socialmapper_ray.stages import network as net
+
+    rng = np.random.RandomState(7)
+    g = 6
+    idx = np.arange(g * g)
+    row, col = idx // g, idx % g
+    e_src = np.concatenate([idx[col < g - 1], idx[row < g - 1]])
+    e_dst = np.concatenate([idx[col < g - 1] + 1, idx[row < g - 1] + g])
+    w = rng.randint(60, 300, size=len(e_src))
+    src = np.concatenate([e_src, e_dst])
+    dst = np.concatenate([e_dst, e_src])
+    ws = np.concatenate([w, w])
+
+    def dijkstra(source):
+        adj = {}
+        for a, b, ww in zip(src, dst, ws):
+            adj.setdefault(a, []).append((b, ww))
+        dist = {source: 0}
+        pq = [(0, source)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, ww in adj[u]:
+                nd = d + ww
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    for source in (0, 17, 35):
+        got = net.sssp_dists(src, dst, ws, g * g, source, cap=10**9)
+        want = dijkstra(source)
+        for n in range(g * g):
+            assert got[n] == want[n], (source, n)
