@@ -737,6 +737,45 @@ def minhash_dedup_keep(ds, id_col: str = "doc_id", text_col: str = "text",
         concurrency=clamp_concurrency(4, 0.5), num_cpus=0.5)
 
 
+def minhash_dedup_keep_distributed(ds, id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   threshold: float = 0.5,
+                                   n_buckets: int = 16):
+    """The no-driver-materialization variant of
+    :func:`minhash_dedup_keep`: components come from
+    :func:`connected_components_distributed` (bucketed label
+    propagation) and the keep decision is a bucketed LEFT join of the
+    id stream against the label Dataset — the driver never holds the
+    edge list. The path to take when the verified-duplicate graph
+    itself outgrows one block (e.g. boilerplate-heavy web corpora where
+    duplicates are a large fraction of all pages). Verified equal to
+    the broadcast variant in tests.
+    """
+    from .hash_join import hash_join
+
+    cands = candidate_pairs(ds, id_col, text_col, combine=False)
+    verified = verify_pairs_distributed(
+        cands, ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    labels = connected_components_distributed(verified, n_buckets=n_buckets)
+
+    joined = hash_join(ds.select_columns([id_col]), labels,
+                       left_on=id_col, right_on="node",
+                       left_cols=[id_col], right_cols=["node", "component"],
+                       n_buckets=n_buckets, how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        comp = df["component"].to_numpy(dtype=np.float64)
+        component = np.where(np.isnan(comp), ids, comp).astype(np.int64)
+        return pd.DataFrame({
+            id_col: ids,
+            "component": component,
+            "keep": component == ids,
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -213,3 +213,19 @@ def test_connected_components_distributed_matches(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
     assert (got["component"].to_numpy() == want["component"].to_numpy()).all()
+
+
+def test_minhash_keep_distributed_matches_broadcast(ray_session, docs):
+    """minhash_dedup_keep_distributed (bucketed CC + left join) must
+    produce the same (doc_id, component, keep) table as the
+    broadcast-labels variant."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs)
+    a = dedup.minhash_dedup_keep(ds, threshold=0.35).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup.minhash_dedup_keep_distributed(ds, threshold=0.35) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["component"].to_numpy() == b["component"].to_numpy()).all()
+    assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
