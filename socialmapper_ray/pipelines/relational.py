@@ -33,8 +33,10 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     they arrive as one block and the pipeline serializes)."""
     from .flagship import _default_blocks
 
-    return rd.read_parquet(_p(sf_dir, table), columns=columns,
-                           override_num_blocks=_default_blocks())
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(_p(sf_dir, table), columns=columns,
+                              override_num_blocks=_default_blocks())
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -67,7 +69,8 @@ def q1_pricing_summary(sf_dir: str):
             "sq": qty, "sbp": bp_e2, "sdp": dp_e4, "n": 1,
         }).groupby(["l_returnflag", "l_linestatus"], sort=False) \
           .sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     # tiny partials (6 groups x n_batches): tree combine beats the
     # Aggregate all-to-all barrier (see stages/zonal.py rationale)

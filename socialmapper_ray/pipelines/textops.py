@@ -27,8 +27,10 @@ def _p(sf_dir: str, table: str) -> str:
 def _read(sf_dir: str, table: str, columns: list[str]):
     from .flagship import _default_blocks
 
-    return rd.read_parquet(_p(sf_dir, table), columns=columns,
-                           override_num_blocks=_default_blocks())
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(_p(sf_dir, table), columns=columns,
+                              override_num_blocks=_default_blocks())
 
 
 # ---------------------------------------------------------------------------

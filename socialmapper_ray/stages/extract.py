@@ -22,17 +22,24 @@ from ..functions import geoparse as gp
 from ..functions import text as tx
 
 
-def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def extract_batch(batch: pd.DataFrame) -> "pa.Table":
     """pages batch -> extracted batch; html is dropped on output.
 
     Output columns: url, warc_ts, lang, text, n_chars, lat, lon, name,
     geo_kind, valid. Pure + vectorized: per-url output is byte-identical
     at any parallelism (BASELINE.json invariant).
+
+    Returns a metadata-free Arrow table: pandas-converted blocks carry a
+    ``pandas`` schema-metadata dict that makes block schemas unhashable,
+    which forces Ray's batcher into its slow schema-unify path (and a
+    per-task warning) in every downstream actor-pool stage.
     """
+    import pyarrow as pa
+
     text = tx.extract_main_text(batch["html"])
     geo = gp.geoparse(batch["html"])
     valid = gp.validate_coords(geo["lat"], geo["lon"])
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "url": batch["url"],
         "warc_ts": batch["warc_ts"],
         "lang": batch["lang"],
@@ -44,6 +51,8 @@ def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
         "geo_kind": geo["geo_kind"],
         "valid": valid,
     })
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def extract_pois(pages_ds, batch_size: int = 2048):

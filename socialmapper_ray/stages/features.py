@@ -33,7 +33,11 @@ def text_features_batch(df: pd.DataFrame,
     out["token_count"] = tx.token_count(texts)
     out["stop_count"] = tx.stopword_count(texts)
     out["alpha_ratio_ppm"] = tx.alpha_ratio_scaled(texts)
-    return out
+    import pyarrow as pa
+
+    # emit a metadata-free Arrow block (see stages/extract.py rationale)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def with_text_features(ds, batch_size: int = 1024):

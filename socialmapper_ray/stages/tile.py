@@ -40,7 +40,10 @@ def tile_batch(batch: pa.Table, hex_res: int = DEFAULT_HEX_RES,
                                                     pa.uint64()))
     batch = batch.append_column("part_key", pa.array(np.where(ok, part, 0),
                                                      pa.uint64()))
-    return batch
+    # strip any pandas metadata a pandas->arrow block conversion left on
+    # the input schema: metadata dicts make block schemas unhashable,
+    # forcing Ray's batcher into its slow unify path downstream
+    return batch.replace_schema_metadata(None)
 
 
 def tile_points(ds, **kw):

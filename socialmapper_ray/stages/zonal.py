@@ -38,9 +38,11 @@ def zonal_counts(join_ds, value_col: str | None = None,
         if value_col:
             g = df.groupby(zone_col, sort=False).agg(
                 n=(value_col, "size"), v=(value_col, "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
         g = df.groupby(zone_col, sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def combine_raw(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(zone_col, sort=False).sum().reset_index()

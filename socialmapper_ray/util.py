@@ -26,3 +26,33 @@ def clamp_concurrency(requested: int, num_cpus_per_actor: float = 0.5,
     budget = max(0.5, (cpus - reserve_cpus) / 2.0)
     max_pool = max(1, int(budget / max(num_cpus_per_actor, 1e-6)))
     return max(1, min(requested, max_pool))
+
+
+def read_parquet_clean(path: str, columns: list[str] | None = None,
+                       **kwargs):
+    """``ray.data.read_parquet`` with the file's ``pandas`` schema
+    metadata stripped.
+
+    Driver-written parquet carries pyarrow's pandas metadata blob; Ray's
+    batcher hashes block schemas to dedup them before unify and a
+    metadata dict makes ``hash(schema)`` raise, logging a per-task
+    warning and forcing the slow unify path on every batch. Passing an
+    explicit metadata-free (column-pruned) schema to the read makes
+    every downstream block schema hashable.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import glob
+    import os
+
+    f = path
+    if os.path.isdir(path):
+        f = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    full = pq.read_schema(f).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([full.field(c) for c in columns])
+        return rd.read_parquet(path, columns=columns, schema=schema,
+                               **kwargs)
+    return rd.read_parquet(path, schema=full, **kwargs)
