@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase": rel.asof_purchase,
         "orders_without_lineitem": rel.orders_without_lineitem,
         "event_type_reach": rel.event_type_reach,
+        "user_running_total": rel.user_running_total,
+        "radius_join": sp.radius_join_q,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase": rel.ASOF_PURCHASE_SQL,
         "orders_without_lineitem": rel.ORDERS_WITHOUT_LINEITEM_SQL,
         "event_type_reach": rel.EVENT_TYPE_REACH_SQL,
+        "user_running_total": rel.USER_RUNNING_TOTAL_SQL,
+        "radius_join": sp.radius_join_sql(d),
         "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,

@@ -871,3 +871,36 @@ EVENT_TYPE_REACH_SQL = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+def user_running_total(sf_dir: str):
+    """Per-user cumulative value over time (the ROWS UNBOUNDED
+    PRECEDING window): one exchange keyed on user, per-group ts-sorted
+    int64-e4 cumsum (order-independent exactness — values are 4-decimal
+    quantized). (user_id, ts) uniqueness makes the order total, so the
+    running sum is deterministic; the windowed-SUM HUGEINT trap is
+    CAST in the oracle (the sessionize lesson).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        v = (g["value"] * 10000).round().astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64),
+            "user_id": g["user_id"].astype(np.int64),
+            "ts": g["ts"],
+            "cum_value_e4": v.cumsum().astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+USER_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e4
+FROM events
+"""

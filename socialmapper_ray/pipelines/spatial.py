@@ -843,3 +843,31 @@ def network_bands_sql(d: str) -> str:
            CAST(MIN(dist) // {band} AS BIGINT) AS band
     FROM sp GROUP BY center_id, node
     """
+
+
+def radius_join_q(sf_dir: str, radius_km: float = 200.0):
+    """Spatial range join: every (POI, center) pair within 200 km
+    (reference J5 widened to range semantics). Engine and oracle share
+    the haversine definition to round-6 precision; a pair exactly ON
+    the 200 km boundary could differ in the last ulp between numpy and
+    DuckDB — probability ~0 in the synthetic world (same class as the
+    documented PIP boundary rule)."""
+    ds = _extracted_valid(sf_dir)
+    centers_ref = knn_mod.centers_ref_from_parquet(
+        synth.table_path(sf_dir, "band_centers"))
+    out = knn_mod.radius_join(ds, centers_ref, radius_km,
+                              keep_cols=("url",))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "url": df["url"], "center_id": df["center_id"],
+            "distance_km": df["distance_km"].round(6)}),
+        batch_format="pandas")
+
+
+def radius_join_sql(d: str, radius_km: float = 200.0) -> str:
+    return f"""
+    SELECT p.url, c.center_id, ROUND({_HAVERSINE_SQL}, 6) AS distance_km
+    FROM read_parquet('{d}/pois_truth.parquet') p
+    CROSS JOIN read_parquet('{d}/band_centers.parquet') c
+    WHERE p.has_geo AND {_HAVERSINE_SQL} <= {radius_km}
+    """

@@ -183,3 +183,62 @@ def centers_ref_from_parquet(path: str):
         "lon": t["lon"].to_numpy(),
         "travel_mode": np.asarray(t["travel_mode"].to_pylist()),
     })
+
+
+class RadiusJoin:
+    """Actor-pool spatial RANGE join: every (point, facility) pair
+    within ``radius_km`` (reference J5 widened to the range-join shape —
+    distance/engine.py's matrix kernel, emitting all rows under the
+    threshold instead of the argmin).
+
+    Same broadcast-small-side topology as NearestFacility: no shuffle,
+    each batch emits its own pairs. Output size is data-dependent
+    (avg degree x rows); keep ``radius_km`` and batch_size sized so one
+    batch's pair block fits the worker heap.
+    """
+
+    def __init__(self, centers_ref, radius_km: float, keep_cols=("url",),
+                 lat_col="lat", lon_col="lon", chunk: int = 1024):
+        c = ray.get(centers_ref)
+        self.c_lat = np.asarray(c["lat"], dtype=np.float64)
+        self.c_lon = np.asarray(c["lon"], dtype=np.float64)
+        self.c_id = np.asarray(c["center_id"])
+        self.radius_km = float(radius_km)
+        self.keep_cols = list(keep_cols)
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+        self.chunk = chunk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        n = len(lat)
+        rows, cols_j, dists = [], [], []
+        for s in range(0, n, self.chunk):
+            e = min(s + self.chunk, n)
+            d = geom.haversine_km(lat[s:e, None], lon[s:e, None],
+                                  self.c_lat[None, :], self.c_lon[None, :])
+            i, j = np.nonzero(d <= self.radius_km)
+            rows.append(i + s)
+            cols_j.append(j)
+            dists.append(d[i, j])
+        i = np.concatenate(rows) if rows else np.empty(0, np.int64)
+        j = np.concatenate(cols_j) if cols_j else np.empty(0, np.int64)
+        d = np.concatenate(dists) if dists else np.empty(0, np.float64)
+        out = {c: batch[c].take(pa.array(i)) for c in self.keep_cols}
+        out["center_id"] = pa.array(self.c_id[j])
+        out["distance_km"] = pa.array(d, pa.float64())
+        return pa.table(out)
+
+
+def radius_join(points_ds, centers_ref, radius_km: float,
+                keep_cols=("url",), concurrency=4, batch_size: int = 4096):
+    from ..util import clamp_concurrency
+
+    return points_ds.map_batches(
+        RadiusJoin,
+        fn_constructor_kwargs=dict(centers_ref=centers_ref,
+                                   radius_km=radius_km,
+                                   keep_cols=keep_cols),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=clamp_concurrency(concurrency, 0.5), num_cpus=0.5)
