@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_reach": rel.event_type_reach,
         "user_running_total": rel.user_running_total,
         "radius_join": sp.radius_join_q,
+        "events_quartiles_by_type": rel.events_quartiles_by_type,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": tp.ann_topk_ivf_q,
         "sample_docs": tp.sample_docs_q,
         "sample_docs_hash": tp.sample_docs_hash_q,
+        "stratified_sample": tp.stratified_sample_q,
         "text_quality": tp.text_quality_q,
         "lang_id": tp.lang_id_q,
         "ann_topk": tp.ann_topk_q,
@@ -159,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "event_type_reach": rel.EVENT_TYPE_REACH_SQL,
         "user_running_total": rel.USER_RUNNING_TOTAL_SQL,
         "radius_join": sp.radius_join_sql(d),
+        "events_quartiles_by_type": rel.EVENTS_QUARTILES_SQL,
+        "stratified_sample": tp.STRATIFIED_SAMPLE_SQL,
         "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,

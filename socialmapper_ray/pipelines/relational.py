@@ -904,3 +904,53 @@ SELECT event_id, user_id, ts,
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e4
 FROM events
 """
+
+
+def events_quartiles_by_type(sf_dir: str):
+    """EXACT distributed p25/p50/p75 per group — the quantile
+    generalisation of :func:`events_median_by_type`: same lossless
+    int64-e4 histogram exchange, three cumulative-count walks at ranks
+    ceil(q * n). No value stream ever moves; for unquantized data the
+    scale path is a mergeable quantile sketch (documented trade)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(v=(df["value"] * 10000).round().astype(np.int64))
+        return df.groupby(["event_type", "v"], sort=False) \
+                 .size().reset_index(name="n")
+
+    def quart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["event_type", "v"], sort=False)["n"].sum() \
+               .reset_index()
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("v")
+            n = int(g["n"].sum())
+            c = g["n"].cumsum().to_numpy()
+            v = g["v"].to_numpy()
+            qs = [int(v[np.searchsorted(c, int(np.ceil(q * n)))])
+                  for q in (0.25, 0.5, 0.75)]
+            rows.append((et, n, *qs))
+        return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                           "p25_e4", "p50_e4", "p75_e4"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(quart, batch_format="pandas", batch_size=None)
+
+
+EVENTS_QUARTILES_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                     THEN v END) AS BIGINT) AS p25_e4,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN v END) AS BIGINT) AS p50_e4,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                     THEN v END) AS BIGINT) AS p75_e4
+FROM s GROUP BY event_type
+"""

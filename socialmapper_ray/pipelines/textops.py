@@ -397,3 +397,38 @@ SELECT doc_id, lang, n_chars
 FROM documents
 WHERE ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 % 100 < 10
 """
+
+
+STRATA_PCT = {"en": 5, "de": 20, "fr": 20, "es": 50, "zh": 100}
+
+
+def stratified_sample_q(sf_dir: str):
+    """Stratified deterministic sampling: per-language keep rates
+    (downsample the dominant stratum, keep all of the rare ones) — the
+    standard training-data rebalance. Membership is the same
+    repartition-stable LCG hash as sample_docs_hash, thresholded per
+    stratum, so the sample is reproducible under resume/backfill and
+    SQL-checkable."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = ((ids % 4294967296) * 1103515245 + 12345) % 4294967296 % 100
+        pct = df["lang"].map(STRATA_PCT).fillna(0).to_numpy(np.int64)
+        out = df.loc[h < pct]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype(np.int64),
+            "lang": out["lang"],
+            "n_chars": out["n_chars"].astype(np.int64),
+        })
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 % 100
+      < CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 20 WHEN 'fr' THEN 20
+                  WHEN 'es' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END
+"""
