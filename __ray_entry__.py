@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": tp.media_features_q,
         "dedup_minhash_pairs": tp.minhash_pairs_q,
         "dedup_minhash_keep": tp.dedup_minhash_keep_q,
+        "dedup_minhash_keep_distributed": tp.dedup_minhash_keep_distributed_q,
         "ngram_jaccard_pairs": tp.ngram_jaccard_pairs_q,
         "dedup_simhash_pairs": tp.simhash_pairs_q,
         "doc_fingerprint": tp.fingerprint_q,

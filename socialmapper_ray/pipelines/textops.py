@@ -432,3 +432,18 @@ WHERE ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 % 100
       < CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 20 WHEN 'fr' THEN 20
                   WHEN 'es' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END
 """
+
+
+def dedup_minhash_keep_distributed_q(sf_dir: str, threshold: float = 0.35):
+    """The zero-driver-materialization keep table (bucketed label
+    propagation + left join; stages/dedup.py
+    minhash_dedup_keep_distributed). Rows-only; equality with the
+    broadcast variant is pytest-verified."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_mod.minhash_dedup_keep_distributed(ds, threshold=threshold)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "component": df["component"].astype(np.int64),
+            "keep": df["keep"].astype(bool)}),
+        batch_format="pandas")
