@@ -622,10 +622,16 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
             "node": pd.Series(dtype=np.int64),
             "component": pd.Series(dtype=np.int64)}))
 
-    labels = edges.groupby("u").map_groups(
-        lambda g: pd.DataFrame({"node": g["u"].iloc[:1],
-                                "component": g["u"].iloc[:1]}),
-        batch_format="pandas").materialize()
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["u"].to_numpy(np.int64))
+        return pd.DataFrame({"node": u, "component": u,
+                             "__nb": u % np.int64(n_buckets)})
+
+    # per-bucket dedup is global dedup (a node lives in one bucket)
+    labels = edges.map_batches(init_labels, batch_format="pandas") \
+        .groupby("__nb").map_groups(
+            lambda g: g.drop_duplicates("node")[["node", "component"]],
+            batch_format="pandas").materialize()
 
     for _ in range(max_rounds):
         nbr = hash_join(edges, labels, left_on="v", right_on="node",
@@ -644,14 +650,21 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
                  "own": np.ones(len(df), dtype=np.int64)}),
             batch_format="pandas")
 
-        def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
-            old = int(g.loc[g["own"] == 1, "cand"].iloc[0])
-            new = int(g["cand"].min())
-            return pd.DataFrame({"node": g["node"].iloc[:1],
-                                 "component": [new], "old": [old]})
+        def min_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # vectorized min-per-node within one node bucket (grouping
+            # per NODE would invoke python once per node — per-row work)
+            agg = g.groupby("node", sort=False).agg(
+                component=("cand", "min")).reset_index()
+            old = g.loc[g["own"] == 1, ["node", "cand"]] \
+                   .rename(columns={"cand": "old"})
+            return agg.merge(old, on="node")
 
-        prop = nbr.union(own).groupby("node").map_groups(
-            min_per_node, batch_format="pandas").materialize()
+        prop = nbr.union(own).map_batches(
+            lambda df: df.assign(
+                __nb=df["node"].to_numpy(np.int64) % np.int64(n_buckets)),
+            batch_format="pandas") \
+            .groupby("__nb").map_groups(min_per_bucket,
+                                        batch_format="pandas").materialize()
 
         # pointer jump: label(node) <- min(label, label[label])
         jump_side = prop.map_batches(
