@@ -180,10 +180,10 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
+    from ..stages.hash_join import _bucket_of
+
     def bucket_of(keys: np.ndarray) -> np.ndarray:
-        k64 = keys.astype(np.int64)
-        return ((k64 * np.int64(0x9E3779B1)) % np.int64(2 ** 31)
-                % np.int64(n_buckets)).astype(np.int64)
+        return _bucket_of(keys, n_buckets)
 
     class FilterOrders:
         def __init__(self, ref):
@@ -310,25 +310,47 @@ FROM events GROUP BY 1, 2
 """
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user (gap-based), as groupby(user).map_groups
-    over ts-sorted groups (§2.9 pattern; ordering assumption: within a
-    user, ties in ts do not affect session boundaries)."""
+def sessionize(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 16):
+    """Session windows per user (gap-based), §2.9 pattern.
+
+    Exchange keyed on a USER-HASH BUCKET, not the user: grouping per
+    user would invoke the python UDF once per user (per-tiny-group
+    overhead, the candidate_pairs lesson); one bucket call sessionizes
+    thousands of users with a single sort + vectorized boundary scan +
+    one pandas groupby. Ordering: (user_id, ts) is unique, so session
+    boundaries are deterministic.
+    """
+    from ..stages.hash_join import _bucket_of
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        sess = new.cumsum().astype(np.int64)
-        out = g.assign(session_id=sess).groupby("session_id").agg(
-            n_events=("ts", "size"), session_start=("ts", "min"),
-            session_end=("ts", "max")).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user | (g["ts"].diff() > gap).to_numpy()
+        cs = np.cumsum(new_sess)                 # global session ordinal
+        # restart numbering at 1 per user: subtract the count of
+        # sessions that started before each user's segment
+        seg = np.cumsum(new_user) - 1
+        sess = (cs - (cs[new_user] - 1)[seg]).astype(np.int64)
+        out = g.assign(session_id=sess) \
+            .groupby(["user_id", "session_id"], sort=False).agg(
+                n_events=("ts", "size"), session_start=("ts", "min"),
+                session_end=("ts", "max")).reset_index()
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
 
 
 SESSIONIZE_SQL = """
@@ -873,28 +895,37 @@ FROM events GROUP BY event_type
 """
 
 
-def user_running_total(sf_dir: str):
+def user_running_total(sf_dir: str, n_buckets: int = 16):
     """Per-user cumulative value over time (the ROWS UNBOUNDED
-    PRECEDING window): one exchange keyed on user, per-group ts-sorted
-    int64-e4 cumsum (order-independent exactness — values are 4-decimal
-    quantized). (user_id, ts) uniqueness makes the order total, so the
-    running sum is deterministic; the windowed-SUM HUGEINT trap is
-    CAST in the oracle (the sessionize lesson).
+    PRECEDING window): one exchange keyed on a user-hash BUCKET (one
+    python call per bucket, not per user — see sessionize), per-bucket
+    ts-sorted vectorized grouped cumsum over int64-e4 values
+    (order-independent exactness — values are 4-decimal quantized).
+    (user_id, ts) uniqueness makes the order total, so the running sum
+    is deterministic; the windowed-SUM HUGEINT trap is CAST in the
+    oracle (the sessionize lesson).
     """
+    from ..stages.hash_join import _bucket_of
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
         v = (g["value"] * 10000).round().astype(np.int64)
+        cum = v.groupby(g["user_id"].to_numpy()).cumsum()
         return pd.DataFrame({
             "event_id": g["event_id"].astype(np.int64),
             "user_id": g["user_id"].astype(np.int64),
             "ts": g["ts"],
-            "cum_value_e4": v.cumsum().astype(np.int64),
+            "cum_value_e4": cum.astype(np.int64),
         })
 
-    return ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pandas")
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
 
 
 USER_RUNNING_TOTAL_SQL = """

@@ -84,6 +84,13 @@ def ngram_jaccard_pairs_q(sf_dir: str, threshold: float = 0.7):
     and test oracle; the wired query path blocks with LSH and verifies
     candidates with the char-n-gram set feature inside the distributed
     verify — no full-corpus driver read, no all-pairs matmul.
+
+    Recall contract: blocking uses WORD-shingle MinHash, so a pair
+    whose char-gram similarity clears the threshold while its word
+    shingles are near-disjoint (e.g. heavy word reordering) is not a
+    candidate and will not be emitted — the standard LSH recall trade,
+    accepted for the scale path; the all-pairs kernel remains the
+    exhaustive option for bounded inputs.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = dedup_mod.candidate_pairs(ds, combine=False)

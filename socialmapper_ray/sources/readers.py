@@ -110,7 +110,10 @@ def read_jsonl_pages(path: str, strict: bool = False):
             raise ValueError(f"jsonl pages missing columns {missing}")
         out = pd.DataFrame(index=df.index)
         for c in PAGE_COLUMNS:
-            out[c] = df[c].astype(str) if c in df.columns else ""
+            # fillna BEFORE astype: a JSON null is None in pandas and
+            # astype(str) would stringify it to the literal 'None'
+            out[c] = (df[c].fillna("").astype(str)
+                      if c in df.columns else "")
         # canonical pages schema stores html as utf-8 bytes (parquet
         # binary); JSONL carries it as a string
         out["html"] = out["html"].str.encode("utf-8")

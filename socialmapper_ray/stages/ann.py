@@ -194,10 +194,13 @@ def fit_ivf_centroids(path: str, n_clusters: int = 32,
     """Coarse-quantizer fit on a BOUNDED sample; broadcast once.
 
     Small tables (<= max_fit_rows) are read whole. Larger ones are
-    sampled distributed (``Dataset.random_sample`` with a fixed seed)
-    so the driver never holds more than ~max_fit_rows vectors no matter
-    the corpus size — a k-means quantizer fit on a 64k random sample is
-    statistically indistinguishable from the full fit for IVF purposes.
+    sampled distributed by a DETERMINISTIC hash of ``vec_id`` (the
+    repartition-stable LCG used by the sampling ops): membership is a
+    pure row-key function, so the fitted centroids — and every
+    downstream ann_topk_ivf result — are identical at any block layout
+    or parallelism (``Dataset.random_sample`` draws per block, which
+    varies with layout and breaks the byte-identical invariant). The
+    driver never holds more than ~max_fit_rows vectors.
     """
     import pyarrow.parquet as pq
 
@@ -207,16 +210,24 @@ def fit_ivf_centroids(path: str, n_clusters: int = 32,
         m = t["embedding"].combine_chunks().flatten().to_numpy() \
             .astype(np.float64).reshape(t.num_rows, -1)
     else:
+        import pandas as pd
         import ray.data as rd
 
-        frac = max_fit_rows / n_total
-        rows = rd.read_parquet(path, columns=["embedding"]) \
-            .random_sample(frac, seed=seed).take_all()
+        # keep-threshold in 32-bit hash space, seed-salted
+        thresh = np.int64(max_fit_rows / n_total * 4294967296)
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy(np.int64)
+            h = (((ids + np.int64(seed)) % 4294967296)
+                 * 1103515245 + 12345) % 4294967296
+            return df.loc[h < thresh, ["vec_id", "embedding"]]
+
+        rows = rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+            .map_batches(pick, batch_format="pandas").take_all()
+        rows.sort(key=lambda r: r["vec_id"])  # layout-independent order
         m = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
         if len(m) > max_fit_rows:           # sampling variance overshoot
-            rng = np.random.default_rng(seed)
-            keep = np.sort(rng.choice(len(m), max_fit_rows, replace=False))
-            m = m[keep]
+            m = m[:max_fit_rows]
     m = _normalize(m)
     return ray.put(kmeans(m, min(n_clusters, len(m))))
 

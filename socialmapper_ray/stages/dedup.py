@@ -434,7 +434,7 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
     joined = hash_join(
         exploded, feats, left_on=id_col, right_on=id_col,
         left_cols=["pair_id", "a", "b", id_col], right_cols=[id_col, "feat"],
-        n_buckets=n_buckets)
+        n_buckets=n_buckets, int_fill_cols=("pair_id", "a", "b"))
 
     def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -447,6 +447,7 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
         pid = g["pair_id"].to_numpy()
         feats = g["feat"].to_numpy()
         ga = g["a"].to_numpy()
+        gb = g["b"].to_numpy()
         starts = np.flatnonzero(np.concatenate(
             [[True], pid[1:] != pid[:-1]]))
         out_a, out_b, out_j = [], [], []
@@ -457,7 +458,7 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
                         np.frombuffer(feats[s + 1], dtype=np.uint64))
             if j >= threshold:
                 out_a.append(int(ga[s]))
-                out_b.append(int(g["b"].to_numpy()[s]))
+                out_b.append(int(gb[s]))
                 out_j.append(j)
         if not out_a:
             return empty
@@ -637,7 +638,8 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
         nbr = hash_join(edges, labels, left_on="v", right_on="node",
                         left_cols=["u", "v"],
                         right_cols=["node", "component"],
-                        n_buckets=n_buckets) \
+                        n_buckets=n_buckets,
+                        int_fill_cols=("u", "v", "node", "component")) \
             .map_batches(lambda df: pd.DataFrame(
                 {"node": df["u"].to_numpy(np.int64),
                  "cand": df["component"].to_numpy(np.int64),
@@ -676,7 +678,9 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
                            right_on="jnode",
                            left_cols=["node", "component", "old"],
                            right_cols=["jnode", "jcomp"],
-                           n_buckets=n_buckets) \
+                           n_buckets=n_buckets,
+                           int_fill_cols=("node", "component", "old",
+                                          "jnode", "jcomp")) \
             .map_batches(lambda df: pd.DataFrame({
                 "node": df["node"].to_numpy(np.int64),
                 "component": np.minimum(
@@ -774,12 +778,15 @@ def minhash_dedup_keep_distributed(ds, id_col: str = "doc_id",
     joined = hash_join(ds.select_columns([id_col]), labels,
                        left_on=id_col, right_on="node",
                        left_cols=[id_col], right_cols=["node", "component"],
-                       n_buckets=n_buckets, how="left")
+                       n_buckets=n_buckets, how="left",
+                       int_fill_cols=(id_col, "node", "component"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy().astype(np.int64)
-        comp = df["component"].to_numpy(dtype=np.float64)
-        component = np.where(np.isnan(comp), ids, comp).astype(np.int64)
+        comp = df["component"]          # nullable Int64: 64-bit exact
+        miss = comp.isna().to_numpy()
+        component = ids.copy()
+        component[~miss] = comp[~miss].astype(np.int64).to_numpy()
         return pd.DataFrame({
             id_col: ids,
             "component": component,
@@ -871,8 +878,10 @@ def _simhash_group_pairs(ids: np.ndarray, sigs: np.ndarray,
     quadratic all-pairs — component-preserving, same rationale as the
     LSH hot-bucket cap.
     """
-    order = np.argsort(ids, kind="stable")
-    ids, sigs = ids[order], sigs[order]
+    # duplicate id rows (dirty/replicated input) would otherwise emit
+    # self-pairs (x, x) from the identical-signature cluster
+    ids, first = np.unique(ids, return_index=True)
+    sigs = sigs[first]
     uniq, inv = np.unique(sigs, return_inverse=True)
     members = [ids[inv == i] for i in range(len(uniq))]
     out_a, out_b, out_h = [], [], []

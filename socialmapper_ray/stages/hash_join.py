@@ -30,15 +30,30 @@ def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
             % np.int64(n_buckets)).astype(np.int64)
 
 
+#: fill value for absent int columns — never read (join_bucket selects
+#: side-specific columns), chosen so both sides' blocks stay plain int64
+INT_FILL = np.int64(np.iinfo(np.int64).min)
+
+
 def hash_join(left_ds, right_ds, left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],
-              n_buckets: int = 16, how: str = "inner"):
+              n_buckets: int = 16, how: str = "inner",
+              int_fill_cols: tuple = ()):
     """Partitioned hash join of two Datasets on int64 keys.
 
     left_cols / right_cols: the output columns contributed by each side
     (must be disjoint apart from the join keys). Returns the merged
     Dataset with columns left_cols + right_cols (minus right_on if it
     duplicates left_on).
+
+    ``int_fill_cols``: int64 columns among the union schema — filled on
+    the side that lacks them with an int64 SENTINEL instead of float64
+    NaN, keeping both sides' block schemas identical plain int64. This
+    matters beyond noise: a float64 NA-fill promotes the column across
+    the whole exchange, silently corrupting 64-bit ids above 2^53 (the
+    100 TB doc-id shape). For ``how="left"`` those columns arrive as
+    pandas nullable Int64 in the output (pd.NA where unmatched) —
+    exact at full 64-bit width.
     """
     all_cols = list(dict.fromkeys(left_cols + right_cols))
 
@@ -49,6 +64,8 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
             for c in all_cols:
                 if c in cols:
                     out[c] = df[c].reset_index(drop=True)
+                elif c in int_fill_cols:
+                    out[c] = pd.Series(np.full(n, INT_FILL), dtype=np.int64)
                 else:
                     # typed NA fill: an all-pd.NA object column makes the
                     # two sides' block schemas disagree (object vs int64),
@@ -71,6 +88,12 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == "l", left_cols]
         r = g.loc[g["__side"] == "r", right_cols]
+        if how == "left" and int_fill_cols:
+            # nullable Int64 keeps unmatched rows exact (a numpy int64
+            # column would promote to float64 on merge, corrupting
+            # 64-bit values); matched values round-trip losslessly
+            r = r.astype({c: "Int64" for c in right_cols
+                          if c in int_fill_cols and c != right_on})
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame(columns=all_cols)
         merged = l.merge(r, how=how, left_on=left_on, right_on=right_on)

@@ -75,7 +75,10 @@ class NetworkBandRouter:
         outs = []
         big = np.iinfo(np.int64).max // 2
         for cid, node in zip(df["center_id"], df["node_id"]):
-            dist = sssp_dists(self.src, self.dst, self.w, self.n_nodes,
+            # a source beyond every edge endpoint (isolated node) still
+            # reaches itself at distance 0 — size the array to include it
+            n_nodes = max(self.n_nodes, int(node) + 1)
+            dist = sssp_dists(self.src, self.dst, self.w, n_nodes,
                               int(node), self.cap)
             reach = np.flatnonzero(dist < big)
             outs.append(pd.DataFrame({

@@ -144,12 +144,18 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
     A killed run therefore leaves either (a) only invisible staging
     files, or (b) a partition mid-publish without a manifest — both
     rewritten cleanly by the next resume, never silently duplicated.
-    Ray-retried write tasks are also safe: staged files are named by a
-    content hash of their rows, so a retry of the same (deterministic)
-    batch overwrites its own file instead of appending a duplicate; the
-    manifest row count is re-derived from the published files' parquet
-    metadata, not from possibly-double-counted task stats.
+    Ray-retried write tasks are also safe: staged files are named by
+    (task id, in-task sequence) — the task id is STABLE across retries
+    of the same task (Ray re-runs under the same id) and the write UDF
+    is deserialized fresh per task attempt, so a retry rewrites exactly
+    the same file names instead of appending duplicates. A content hash
+    cannot serve here: two DIFFERENT batches whose rows happen to be
+    identical (duplicates are normal pre-dedup) would collide on one
+    name and silently halve the data. The manifest row count is
+    re-derived from the published files' parquet metadata, not from
+    possibly-double-counted task stats.
     """
+    import itertools
     import uuid
 
     import pyarrow as pa
@@ -160,9 +166,26 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
     run_id = uuid.uuid4().hex[:12]
 
     written: set[str] = set()
+    # per-(task attempt) batch counters; the closure dict is serialized
+    # empty into each task and reset on deserialization, so retries of
+    # a task replay the same (task_id, seq) names from zero
+    seq_by_task: dict = {}
+
+    def _task_token() -> str:
+        try:
+            import ray
+
+            tid = ray.get_runtime_context().get_task_id()
+        except Exception:
+            tid = None
+        if not tid:  # driver-local execution path
+            tid = f"local-{os.getpid()}"
+        return hashlib.md5(str(tid).encode()).hexdigest()[:12]
 
     def write_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        task = _task_token()
+        counter = seq_by_task.setdefault(task, itertools.count())
         out_rows = {"partition": [], "rows": []}
         for val, grp in df.groupby(partition_col, sort=False):
             key = str(val)
@@ -171,13 +194,12 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
             stage = os.path.join(out_dir, f"{partition_col}={key}",
                                  f".run-{run_id}")
             os.makedirs(stage, exist_ok=True)
-            content = hashlib.md5(
-                pd.util.hash_pandas_object(grp, index=False)
-                .to_numpy().tobytes()).hexdigest()[:16]
+            seq = next(counter)
             tmp = os.path.join(stage, f".tmp-{uuid.uuid4().hex}.parquet")
             papq.write_table(pa.Table.from_pandas(grp, preserve_index=False),
                              tmp, compression="snappy")
-            os.rename(tmp, os.path.join(stage, f"part-{content}.parquet"))
+            os.rename(tmp, os.path.join(stage,
+                                        f"part-{task}-{seq:05d}.parquet"))
             out_rows["partition"].append(key)
             out_rows["rows"].append(len(grp))
         return pa.table(out_rows)

@@ -102,3 +102,23 @@ def test_read_partitions_prunes(ray_session):
     assert len(one) == (want["kind"] == "zcta").sum()
     with pytest.raises(FileNotFoundError, match="no partitions"):
         manifest.read_partitions(OUT, "kind", ["nope"])
+
+
+def test_identical_content_batches_both_survive(ray_session, tmp_path):
+    """Two distinct batches with byte-identical rows for the same
+    partition must BOTH publish (a content-hash file name would
+    collide and silently halve the data)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from socialmapper_ray.state import manifest as mf
+
+    df = pd.DataFrame({"k": ["a"] * 4, "v": [1, 2, 3, 4]})
+    # two blocks with identical content -> identical batch rows
+    ds = rd.from_pandas([df.copy(), df.copy()])
+    out = str(tmp_path / "out")
+    mf.resumable_partitioned_write(ds, out, "k")
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(out + "/k=a").to_pandas()
+    assert len(got) == 8, f"expected both identical batches, got {len(got)}"
