@@ -454,3 +454,71 @@ def dedup_minhash_keep_distributed_q(sf_dir: str, threshold: float = 0.35):
             "component": df["component"].astype(np.int64),
             "keep": df["keep"].astype(bool)}),
         batch_format="pandas")
+
+
+def pack_sequences_q(sf_dir: str, seq_tokens: int = 2048,
+                     n_ranges: int = 64):
+    """Sequence packing for LLM training: assign each document (in
+    doc_id order) to the fixed-token-budget training sequence its
+    running token offset falls in — i.e. an ORDERED GLOBAL PREFIX SUM,
+    the one aggregate shape a plain groupby cannot express.
+
+    Distributed scan in two small exchanges (no global sort of the
+    corpus): documents range-bucket by ``doc_id // step``; stage 1
+    partial-sums tokens per bucket (tiny table -> driver exclusive
+    scan -> broadcast offsets); stage 2 is one groupby(bucket) where
+    each bucket sorts its own id range and adds its broadcast base
+    offset to a vectorized cumsum. Every value is a pure function of
+    the doc set — stable under any block layout.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    max_id = int(rd.read_parquet(_p(sf_dir, "documents"),
+                                 columns=["doc_id"]).max("doc_id"))
+    step = max(1, (max_id + n_ranges) // n_ranges)
+
+    def tokens_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_tokens": tx.token_count(df["text"]),
+            "__rb": (df["doc_id"].to_numpy(np.int64) // step),
+        })
+
+    toks = ds.map_batches(tokens_and_bucket, batch_format="pandas") \
+        .materialize()
+
+    # stage 1: per-bucket token sums -> driver exclusive scan (one row
+    # per range bucket — n_ranges rows, never the doc stream)
+    sums = toks.groupby("__rb").sum("n_tokens").to_pandas() \
+        .sort_values("__rb")
+    base = np.concatenate([[0], np.cumsum(
+        sums["sum(n_tokens)"].to_numpy())[:-1]]).astype(np.int64)
+    base_map = dict(zip(sums["__rb"].astype(int), base))  # <= n_ranges rows
+
+    def assign_seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        nt = g["n_tokens"].to_numpy(np.int64)
+        start = base_map[int(g["__rb"].iloc[0])] + np.cumsum(nt) - nt
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_tokens": nt,
+            "seq_id": (start // seq_tokens).astype(np.int64),
+        })
+
+    return toks.groupby("__rb").map_groups(assign_seq,
+                                           batch_format="pandas")
+
+
+PACK_SEQUENCES_SQL = """
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+FROM (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents))
+"""
