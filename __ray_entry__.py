@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
         "media_features": tp.media_features_q,
+        "media_thumbs": tp.media_thumbs_q,
+        "media_frames": tp.media_frames_q,
         "dedup_minhash_pairs": tp.minhash_pairs_q,
         "dedup_minhash_keep": tp.dedup_minhash_keep_q,
         "dedup_minhash_keep_distributed": tp.dedup_minhash_keep_distributed_q,

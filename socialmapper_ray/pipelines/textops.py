@@ -522,3 +522,44 @@ FROM (
                     AS BIGINT) AS n_tokens
         FROM documents))
 """
+
+
+def media_thumbs_q(sf_dir: str):
+    """Stub-decode -> REAL bilinear 4x4 thumbnail over the pages'
+    binary payload (rows-only; resize kernel dual-oracled in
+    tests/test_multimodal.py against a per-pixel loop)."""
+    from ..pipelines.flagship import read_pages
+    from ..sources import synth
+    from ..stages import multimodal
+
+    synth.ensure_synth(sf_dir)
+    pages = read_pages(sf_dir).select_columns(["url", "html"]) \
+        .rename_columns(["url", "payload"])
+    out = multimodal.media_thumbs(pages)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "url": df["url"],
+            "mean_r_ppm": np.floor(df["mean_r"] * 1e6).astype(np.int64),
+            "mean_g_ppm": np.floor(df["mean_g"] * 1e6).astype(np.int64),
+            "mean_b_ppm": np.floor(df["mean_b"] * 1e6).astype(np.int64)}),
+        batch_format="pandas")
+
+
+def media_frames_q(sf_dir: str):
+    """Frame-sample explode over the pages' binary payload (one row
+    per sampled frame; rows-only)."""
+    from ..pipelines.flagship import read_pages
+    from ..sources import synth
+    from ..stages import multimodal
+
+    synth.ensure_synth(sf_dir)
+    pages = read_pages(sf_dir).select_columns(["url", "html"]) \
+        .rename_columns(["media_id", "payload"])
+    out = multimodal.media_frames(pages)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "media_id": df["media_id"],
+            "frame_index": df["frame_index"].astype(np.int64),
+            "f0_ppm": np.floor(np.asarray(
+                [f[0] for f in df["features"]]) * 1e6).astype(np.int64)}),
+        batch_format="pandas")

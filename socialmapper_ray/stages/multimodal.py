@@ -86,3 +86,133 @@ def decode_media(ds, decoder_cls=FakeDecoder, concurrency=2,
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Image kernels (REAL vectorized numpy — only the byte->pixels decode is
+# stubbed, since no codec libraries exist in this container)
+# ---------------------------------------------------------------------------
+
+def fake_decode_image(blob: bytes, h: int = 32, w: int = 32) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 'decoded image' derived from the
+    payload bytes — the stub half of the pipeline. Everything after
+    this call (resize, pooling, sampling) is real image math."""
+    import zlib
+
+    from ..sources.synth import splitmix64
+
+    seed = np.uint64(zlib.crc32(blob))
+    idx = np.arange(h * w * 3, dtype=np.uint64) + seed * np.uint64(1 << 20)
+    return (splitmix64(idx) >> np.uint64(56)).astype(np.uint8) \
+        .reshape(h, w, 3)
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample (align_corners=False / half-pixel
+    centers, the OpenCV/PIL convention). Works for (H, W) and
+    (H, W, C); float64 output in [0, 255]."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)
+    wx = np.clip(xs - x0, 0.0, 1.0)
+    im = img.astype(np.float64)
+    # gather the four corners with outer-indexed fancy indexing
+    a = im[np.ix_(y0, x0)]
+    b = im[np.ix_(y0, x1)]
+    c = im[np.ix_(y1, x0)]
+    d = im[np.ix_(y1, x1)]
+    wyv = wy[:, None, None] if im.ndim == 3 else wy[:, None]
+    wxv = wx[None, :, None] if im.ndim == 3 else wx[None, :]
+    top = a + (b - a) * wxv
+    bot = c + (d - c) * wxv
+    return top + (bot - top) * wyv
+
+
+class ImageThumbStage:
+    """Actor-pool stage: payload -> decode (stub) -> REAL bilinear
+    thumbnail -> slim output (thumb flattened as list<float> plus
+    per-channel means). Payload dropped on output (wide-binary rule).
+    """
+
+    def __init__(self, payload_col: str = "payload", src_hw: int = 32,
+                 thumb_hw: int = 4):
+        self.payload_col = payload_col
+        self.src_hw = src_hw
+        self.thumb_hw = thumb_hw
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        thumbs, means = [], []
+        for blob in df[self.payload_col]:
+            img = fake_decode_image(blob, self.src_hw, self.src_hw)
+            th = bilinear_resize(img, self.thumb_hw, self.thumb_hw)
+            thumbs.append(np.round(th, 6).ravel())
+            means.append(th.mean(axis=(0, 1)))
+        out = df.drop(columns=[self.payload_col])
+        m = np.vstack(means)
+        out["thumb"] = thumbs
+        out["mean_r"] = np.round(m[:, 0], 6)
+        out["mean_g"] = np.round(m[:, 1], 6)
+        out["mean_b"] = np.round(m[:, 2], 6)
+        return out
+
+
+FRAME_BYTES = 256
+
+
+def sample_frames(blob: bytes, every_k: int = 4,
+                  max_frames: int = 8) -> list[tuple[int, bytes]]:
+    """Deterministic frame sampling plumbing: the payload is treated as
+    a concatenation of FRAME_BYTES-sized frames (the stub container
+    format); every k-th frame is selected up to ``max_frames``. Returns
+    [(frame_index, frame_bytes)] — the real part is the explode shape
+    and the stride/cap policy, exactly how ffmpeg-backed sampling would
+    slot in."""
+    n_frames = max(1, len(blob) // FRAME_BYTES)
+    picks = list(range(0, n_frames, every_k))[:max_frames]
+    return [(i, blob[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
+            for i in picks]
+
+
+class FrameSampleStage:
+    """Actor-pool stage: one media row -> one row per sampled frame
+    (media_id, frame_index, frame features via the stub decode)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "media_id", every_k: int = 4,
+                 max_frames: int = 8):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.every_k = every_k
+        self.max_frames = max_frames
+        self.decoder = FakeDecoder()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, fidx, feats = [], [], []
+        for mid, blob in zip(df[self.id_col], df[self.payload_col]):
+            for i, frame in sample_frames(blob, self.every_k,
+                                          self.max_frames):
+                ids.append(mid)
+                fidx.append(i)
+                feats.append(self.decoder._features(frame))
+        return pd.DataFrame({
+            self.id_col: np.asarray(ids),
+            "frame_index": np.asarray(fidx, dtype=np.int64),
+            "features": feats,
+        })
+
+
+def media_thumbs(ds, concurrency=2, batch_size: int = 256, **kw):
+    return ds.map_batches(ImageThumbStage, fn_constructor_kwargs=kw,
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=0.5)
+
+
+def media_frames(ds, concurrency=2, batch_size: int = 256, **kw):
+    return ds.map_batches(FrameSampleStage, fn_constructor_kwargs=kw,
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=0.5)
