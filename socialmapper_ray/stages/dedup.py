@@ -596,14 +596,15 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
     graphs that outgrow one block; verified equal to the in-memory
     :func:`connected_components` in tests.
 
-    Per round: ONE bucketed exchange carries every (node, neighbor
-    label) pair into a min-per-node group (the node's previous label
-    rides along, so the update count falls out of the same pass), then
-    ONE label self-join performs a pointer jump (label <- min(label,
-    label[label])) — the same O(log n) convergence as the in-memory
-    version's compression loop. The driver sees only per-round update
-    counts, never the graph. Raises (not silently truncates) at
-    ``max_rounds``.
+    Per round: ONE bucketed join carries every (node, neighbor label)
+    pair into a min-per-node group — SELF-EDGES planted at init make
+    the node's own (previous) label ride the same join, so no second
+    "own" stream or union is needed and the update count falls out of
+    the same pass — then ONE label self-join performs a pointer jump
+    (label <- min(label, label[label])), the same O(log n) convergence
+    as the in-memory version's compression loop. The driver sees only
+    per-round update counts, never the graph. Raises (not silently
+    truncates) at ``max_rounds``.
     """
     from .hash_join import hash_join
 
@@ -611,14 +612,19 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
     # O(map_blocks x reduce_blocks) tiny objects, and letting blocks
     # accumulate across rounds measured ~40 s of pure scheduling on a
     # 25-edge graph. n_buckets blocks is the natural granularity.
-    edges = pairs_ds.map_batches(
-        lambda df: pd.concat([
-            pd.DataFrame({"u": df["a"].to_numpy(np.int64),
-                          "v": df["b"].to_numpy(np.int64)}),
-            pd.DataFrame({"u": df["b"].to_numpy(np.int64),
-                          "v": df["a"].to_numpy(np.int64)}),
-        ], ignore_index=True).drop_duplicates(),
-        batch_format="pandas").repartition(n_buckets).materialize()
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        # both directions + SELF-EDGES: the (u, u) rows carry each
+        # node's own label through the neighbor join, so one join
+        # replaces the join+own-union of the naive formulation
+        return pd.DataFrame({
+            "u": np.concatenate([a, b, a, b]),
+            "v": np.concatenate([b, a, a, b]),
+        }).drop_duplicates()
+
+    edges = pairs_ds.map_batches(explode_edges, batch_format="pandas") \
+        .repartition(n_buckets).materialize()
 
     if edges.count() == 0:
         import ray.data as rd
@@ -647,30 +653,25 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
             .map_batches(lambda df: pd.DataFrame(
                 {"node": df["u"].to_numpy(np.int64),
                  "cand": df["component"].to_numpy(np.int64),
-                 "own": np.zeros(len(df), dtype=np.int64)}),
+                 "own": (df["u"].to_numpy(np.int64)
+                         == df["v"].to_numpy(np.int64)).astype(np.int64),
+                 "__nb": df["u"].to_numpy(np.int64) % np.int64(n_buckets)}),
                 batch_format="pandas")
-        own = labels.map_batches(
-            lambda df: pd.DataFrame(
-                {"node": df["node"].to_numpy(np.int64),
-                 "cand": df["component"].to_numpy(np.int64),
-                 "own": np.ones(len(df), dtype=np.int64)}),
-            batch_format="pandas")
 
         def min_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
             # vectorized min-per-node within one node bucket (grouping
             # per NODE would invoke python once per node — per-row work)
             agg = g.groupby("node", sort=False).agg(
                 component=("cand", "min")).reset_index()
+            # self-edges dedupe only per source batch, so a node can
+            # carry several identical own rows — collapse before merge
             old = g.loc[g["own"] == 1, ["node", "cand"]] \
+                   .drop_duplicates("node") \
                    .rename(columns={"cand": "old"})
             return agg.merge(old, on="node")
 
-        prop = nbr.union(own).map_batches(
-            lambda df: df.assign(
-                __nb=df["node"].to_numpy(np.int64) % np.int64(n_buckets)),
-            batch_format="pandas") \
-            .groupby("__nb").map_groups(min_per_bucket,
-                                        batch_format="pandas") \
+        prop = nbr.groupby("__nb").map_groups(min_per_bucket,
+                                              batch_format="pandas") \
             .repartition(n_buckets).materialize()
 
         # pointer jump: label(node) <- min(label, label[label])
