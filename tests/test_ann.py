@@ -70,3 +70,33 @@ def test_ann_ivf_recall_floor(ray_session):
     ivf2 = textops.ann_topk_ivf_q(SF).to_pandas()
     assert sorted(map(tuple, ivf.values.tolist())) == \
         sorted(map(tuple, ivf2.values.tolist()))
+
+
+def test_ivf_fit_layout_independent(ray_session, tmp_path):
+    """Sampled IVF fit must produce identical centroids whether the
+    embedding table arrives as one file or many (hash-based sampling;
+    Dataset.random_sample would draw per block and break this)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from socialmapper_ray.stages import ann
+
+    rng = np.random.RandomState(11)
+    n, dim = 66000, 4                      # just above the sample gate
+    vecs = rng.rand(n, dim).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    one = str(tmp_path / "one.parquet")
+    pq.write_table(t, one, row_group_size=66000)   # single block
+    alt = str(tmp_path / "alt.parquet")
+    pq.write_table(t, alt, row_group_size=1024)    # ~65 blocks
+
+    c1 = ray.get(ann.fit_ivf_centroids(one, n_clusters=4,
+                                       max_fit_rows=4096))
+    c2 = ray.get(ann.fit_ivf_centroids(alt, n_clusters=4,
+                                       max_fit_rows=4096))
+    assert np.allclose(c1, c2, atol=0), "centroids differ across layouts"

@@ -229,3 +229,47 @@ def test_minhash_keep_distributed_matches_broadcast(ray_session, docs):
     assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
     assert (a["component"].to_numpy() == b["component"].to_numpy()).all()
     assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
+
+
+def test_hash_join_int_fill_exact_above_2_53(ray_session):
+    """64-bit ids above 2^53 must survive the bucketed join exactly
+    (float64 NA-fill promotion would corrupt the low bits)."""
+    import ray.data as rd
+
+    from socialmapper_ray.stages.hash_join import hash_join
+
+    base = (1 << 60) + 1  # not representable in float64
+    ids = np.array([base, base + 1, base + 2], dtype=np.int64)
+    left = rd.from_pandas(pd.DataFrame({"k": ids}))
+    right = rd.from_pandas(pd.DataFrame({"node": ids,
+                                         "component": ids - 7}))
+    out = hash_join(left, right, left_on="k", right_on="node",
+                    left_cols=["k"], right_cols=["node", "component"],
+                    n_buckets=4, how="left",
+                    int_fill_cols=("k", "node", "component")).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert (out["k"].to_numpy() == ids).all()
+    assert (out["component"].astype(np.int64).to_numpy() == ids - 7).all()
+
+
+def test_keep_distributed_ids_above_2_53(ray_session):
+    """Full keep path with >2^53 doc ids: components and keep flags
+    must be bit-exact (the 100 TB hash-id shape)."""
+    import ray.data as rd
+
+    base = 1 << 60
+    docs = pd.DataFrame({
+        "doc_id": np.array([base + 1, base + 2, base + 5], dtype=np.int64),
+        "text": ["alpha beta gamma delta epsilon zeta"] * 2
+                + ["completely different words entirely here now"],
+    })
+    out = dedup.minhash_dedup_keep_distributed(
+        rd.from_pandas(docs), threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["doc_id"].to_numpy()
+            == docs["doc_id"].to_numpy()).all()
+    # the two identical docs share a component anchored at the min id
+    assert out.loc[0, "component"] == base + 1
+    assert out.loc[1, "component"] == base + 1
+    assert bool(out.loc[0, "keep"]) and not bool(out.loc[1, "keep"])
+    assert out.loc[2, "component"] == base + 5 and bool(out.loc[2, "keep"])
