@@ -132,6 +132,9 @@ def run_bench() -> dict:
     timed("dedup_minhash_pairs",
           lambda: len(tp.minhash_pairs_q(SF_DIR)))
     timed("ann_topk", lambda: tp.ann_topk_q(SF_DIR).count())
+    timed("network_bands", lambda: sp.network_bands_q(SF_DIR).count())
+    timed("asof_purchase", lambda: rel.asof_purchase(SF_DIR).count())
+    timed("pack_sequences", lambda: tp.pack_sequences_q(SF_DIR).count())
 
     headline = timings["flagship"] + timings["pip_join"]
     result = {

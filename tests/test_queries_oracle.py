@@ -71,3 +71,22 @@ def test_query_matches_oracle(name, ray_session):
     want = con.execute(oracles[name]).df()
     err = compare(got, want)
     assert err is None, f"{name}: {err}"
+
+
+@pytest.mark.parametrize("name", ["pip_join", "dedup_exact",
+                                  "events_quartiles_by_type",
+                                  "pack_sequences", "network_bands"])
+def test_query_repeatable_within_session(name, ray_session):
+    """Running the same query twice in one Ray session must yield
+    identical rows (synth caches under /tmp are idempotent; no state
+    leaks between executions)."""
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    a = to_df(q(SF))
+    b = to_df(q(SF))
+    a = a[sorted(a.columns)].sort_values(list(sorted(a.columns))) \
+        .reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(list(sorted(b.columns))) \
+        .reset_index(drop=True)
+    assert a.equals(b), f"{name} differs across repeat runs"
