@@ -56,21 +56,28 @@ def q1_pricing_summary(sf_dir: str):
     # (half-even) vs DuckDB (half-away) disagree. Scale to exact int64
     # before summing: cents (e2) for price, 1e-4 units (e4) for
     # discounted price. Integer sums are order-independent and exact.
+    # Pure-Arrow partial: pc kernels + Table.group_by run zero-copy on
+    # the object-store block — no per-batch pandas conversion.
+    # pc.round defaults to half-even, the same tie rule as
+    # numpy/pandas, so values are bit-identical to the pandas form.
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        df = t.to_pandas()
-        qty = df["l_quantity"].round().astype(np.int64)
-        bp_e2 = (df["l_extendedprice"] * 100).round().astype(np.int64)
-        dp_e4 = (df["l_extendedprice"] * (1 - df["l_discount"]) * 10000) \
-            .round().astype(np.int64)
-        g = pd.DataFrame({
-            "l_returnflag": df["l_returnflag"],
-            "l_linestatus": df["l_linestatus"],
-            "sq": qty, "sbp": bp_e2, "sdp": dp_e4, "n": 1,
-        }).groupby(["l_returnflag", "l_linestatus"], sort=False) \
-          .sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
+        ext = t["l_extendedprice"]
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        bp_e2 = pc.cast(pc.round(pc.multiply(ext, 100.0)), pa.int64())
+        # same IEEE op order as the SQL: ext * (1 - disc), then * 1e4
+        dp_e4 = pc.cast(pc.round(pc.multiply(
+            pc.multiply(ext, pc.subtract(1.0, t["l_discount"])),
+            10000.0)), pa.int64())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sq": qty, "sbp": bp_e2, "sdp": dp_e4,
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sq", "sum"), ("sbp", "sum"), ("sdp", "sum"), ("n", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "sq", "sbp", "sdp", "n"])
 
     # tiny partials (6 groups x n_batches): tree combine beats the
     # Aggregate all-to-all barrier (see stages/zonal.py rationale)
@@ -119,16 +126,26 @@ def q6_forecast_revenue(sf_dir: str):
     lo = pd.Timestamp("1994-01-01")
     hi = pd.Timestamp("1995-01-01")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = ((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
-             & (df["l_discount"] >= 0.05) & (df["l_discount"] <= 0.07)
-             & (df["l_quantity"] < 24))
-        df = df[m]
-        rev = (df["l_extendedprice"] * df["l_discount"] * 10000) \
-            .round().astype(np.int64)
-        return pd.DataFrame({"rev": [int(rev.sum())], "n": [len(df)]})
+    lo_s = pa.scalar(lo, pa.timestamp("us"))
+    hi_s = pa.scalar(hi, pa.timestamp("us"))
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
+    # pure-Arrow partial (see q1): zero-copy filter + scaled-int sum
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo_s),
+                    pc.less(t["l_shipdate"], hi_s)),
+            pc.and_(pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                            pc.less_equal(t["l_discount"], 0.07)),
+                    pc.less(t["l_quantity"], 24.0)))
+        t = t.filter(m)
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], t["l_discount"]), 10000.0)),
+            pa.int64())
+        total = pc.sum(rev).as_py()
+        return pa.table({"rev": pa.array([int(total or 0)], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(lambda df: df.sum().to_frame().T,
                      batch_format="pandas", batch_size=None)
