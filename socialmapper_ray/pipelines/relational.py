@@ -294,14 +294,19 @@ def events_hourly(sf_dir: str):
     truncated timestamp), partial-combined per batch."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # event values are 4-decimal quantized -> exact int64 e4 units
-        df = df.assign(hour=df["ts"].dt.floor("h"),
-                       v=(df["value"] * 10000).round().astype(np.int64))
-        return df.groupby(["event_type", "hour"], sort=False).agg(
-            n=("value", "size"), v=("v", "sum")).reset_index()
+    # pure-Arrow partial (see q1): floor_temporal == date_trunc('hour');
+    # event values are 4-decimal quantized -> exact int64 e4 units
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        v = pc.cast(pc.round(pc.multiply(t["value"], 10000.0)), pa.int64())
+        g = pa.table({
+            "event_type": t["event_type"], "hour": hour, "v": v,
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum"), ("v", "sum")])
+        return g.rename_columns(["event_type", "hour", "n", "v"])
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(lambda df: df.groupby(
             ["event_type", "hour"], sort=False).sum().reset_index(),
