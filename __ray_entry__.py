@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": tp.embedding_neardup_q,
         "ann_topk_lsh": tp.ann_topk_lsh_q,
         "ann_topk_ivf": tp.ann_topk_ivf_q,
+        "ann_topk_ivf_partitioned": tp.ann_topk_ivf_partitioned_q,
         "sample_docs": tp.sample_docs_q,
         "sample_docs_hash": tp.sample_docs_hash_q,
         "stratified_sample": tp.stratified_sample_q,

@@ -563,3 +563,23 @@ def media_frames_q(sf_dir: str):
             "f0_ppm": np.floor(np.asarray(
                 [f[0] for f in df["features"]]) * 1e6).astype(np.int64)}),
         batch_format="pandas")
+
+
+def ann_topk_ivf_partitioned_q(sf_dir: str, k: int = 10, n_queries: int = 8,
+                               n_probe: int = 10):
+    """True inverted-file IVF: vectors shuffle to centroid cells,
+    queries score only probed partitions (rows-only; pytest-equal to
+    the scan-with-mask IVF at the same n_probe)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qref = ann_mod.queries_ref_from_parquet(_p(sf_dir, "embeddings"),
+                                            n_queries=n_queries)
+    cref = ann_mod.fit_ivf_centroids(_p(sf_dir, "embeddings"))
+    out = ann_mod.ann_topk_ivf_partitioned(ds, qref, cref, k=k,
+                                           n_probe=n_probe)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "query_id": df["query_id"].astype(np.int64),
+            "vec_id": df["vec_id"].astype(np.int64),
+            "rank": df["rank"].astype(np.int64),
+            "score_r": df["score"].round(4)}),
+        batch_format="pandas")

@@ -329,3 +329,80 @@ def ann_topk_lsh(emb_ds, queries_ref, dim: int, k: int = 10, concurrency=4,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=0.5)
     return final_topk(partials, k)
+
+
+def ann_topk_ivf_partitioned(emb_ds, queries_ref, centroids_ref,
+                             k: int = 10, n_probe: int = 4,
+                             concurrency=4, batch_size: int = 4096):
+    """IVF search as a TRUE partitioned index: vectors shuffle to their
+    centroid cell, and each cell partition scores ONLY the queries that
+    probe it — the classic inverted-file layout. Compared to the
+    scan-all-with-mask ``ann_topk_ivf`` (same results, pytest-equal),
+    this is the 100 TB shape: vectors in unprobed cells are dropped
+    BEFORE the exchange (for a fixed query set most of the corpus never
+    moves), each cell partition does a dense matmul against its own
+    probe subset, and the final merge sees at most
+    n_cells x n_queries x k rows. The co-location partitioning also
+    amortizes across query batches — re-probing a built cell layout is
+    one map_groups, no rescan of unprobed data.
+    """
+    from ..util import clamp_concurrency
+
+    class AssignCell:
+        def __init__(self, centroids_ref, queries_ref, n_probe):
+            self.centroids = ray.get(centroids_ref)
+            q = ray.get(queries_ref)
+            qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+            order = np.argsort(-(qm @ self.centroids.T),
+                               axis=1)[:, :n_probe]
+            self.probed_cells = np.zeros(len(self.centroids), dtype=bool)
+            self.probed_cells[np.unique(order.ravel())] = True
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_emb_matrix(batch, "embedding"))
+            cell = np.argmax(x @ self.centroids.T, axis=1)
+            keep = self.probed_cells[cell]   # prune BEFORE the shuffle
+            return pa.table({
+                "vec_id": batch["vec_id"].filter(pa.array(keep)),
+                "embedding": batch["embedding"].filter(pa.array(keep)),
+                "cell": pa.array(cell[keep].astype(np.int64)),
+            })
+
+    assigned = emb_ds.map_batches(
+        AssignCell,
+        fn_constructor_args=(centroids_ref, queries_ref, n_probe),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=clamp_concurrency(concurrency, 0.5), num_cpus=0.5)
+
+    def search_cell(g, queries_ref=queries_ref,
+                    centroids_ref=centroids_ref):
+        import pandas as pd
+
+        q = ray.get(queries_ref)          # zero-copy plasma read
+        centroids = ray.get(centroids_ref)
+        qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        q_ids = np.asarray(q["query_id"])
+        order = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
+        cell = int(g["cell"].iloc[0])
+        probing = np.flatnonzero((order == cell).any(axis=1))
+        if len(probing) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype=q_ids.dtype),
+                                 "vec_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        x = _normalize(np.vstack([np.asarray(e, dtype=np.float64)
+                                  for e in g["embedding"]]))
+        ids = g["vec_id"].to_numpy()
+        scores = x @ qm[probing].T                    # (n_cell, n_probing)
+        kk = min(k, len(ids))
+        top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        n_p = scores.shape[1]
+        return pd.DataFrame({
+            "query_id": np.repeat(q_ids[probing], kk),
+            "vec_id": ids[top.T.ravel()],
+            "score": scores[top.T.ravel(),
+                            np.repeat(np.arange(n_p), kk)],
+        })
+
+    partials = assigned.groupby("cell").map_groups(search_cell,
+                                                   batch_format="pandas")
+    return final_topk(partials, k)

@@ -100,3 +100,17 @@ def test_ivf_fit_layout_independent(ray_session, tmp_path):
     c2 = ray.get(ann.fit_ivf_centroids(alt, n_clusters=4,
                                        max_fit_rows=4096))
     assert np.allclose(c1, c2, atol=0), "centroids differ across layouts"
+
+
+def test_ivf_partitioned_equals_scan(ray_session):
+    """The shuffled inverted-file IVF must return the same ranked rows
+    as the scan-all-with-probe-mask IVF (identical candidate sets and
+    scores; deterministic tiebreak in the merge)."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    a = e.queries()["ann_topk_ivf"](sf).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = e.queries()["ann_topk_ivf_partitioned"](sf).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
