@@ -60,9 +60,14 @@ class Enricher:
         self.wide = ray.get(demo_ref)
         self.on = on
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.wide, how="left", left_on=self.on,
-                           right_on="geoid").drop(columns=["geoid"])
+    def __call__(self, batch: pd.DataFrame):
+        import pyarrow as pa
+
+        out = batch.merge(self.wide, how="left", left_on=self.on,
+                          right_on="geoid").drop(columns=["geoid"])
+        # metadata-free Arrow block (see stages/extract.py rationale)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
 
 def enrich(ds, demo_ref, on: str = "zone_id", concurrency=2,
