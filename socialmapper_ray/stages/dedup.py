@@ -185,16 +185,30 @@ def minhash_signatures_batch(texts: pd.Series, k: int = 3) -> np.ndarray:
     """
     th_flat, tsegs = _batch_token_hashes(
         texts.tolist() if hasattr(texts, "tolist") else list(texts))
+    from ..sources.synth import splitmix64
+
+    # raw rolling accumulators per doc; the splitmix64 finalizer is
+    # elementwise, so ONE mix over the concatenation equals per-doc
+    # mixing exactly while skipping 2 python calls + an errstate
+    # context per doc (measured ~2x of this kernel's time)
     parts = []
     segs = [0]
-    for i in range(len(tsegs) - 1):
-        sh = _shingles_from_tokens(th_flat[tsegs[i]:tsegs[i + 1]], k)
-        parts.append(sh)
-        segs.append(segs[-1] + len(sh))
+    with np.errstate(over="ignore"):
+        for i in range(len(tsegs) - 1):
+            th = th_flat[tsegs[i]:tsegs[i + 1]]
+            if len(th) < k:
+                th = np.concatenate(
+                    [th, np.zeros(k - len(th), dtype=np.uint64)])
+            m = len(th) - k + 1
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                acc = acc + _SHINGLE_C[j] * th[j: m + j]
+            parts.append(acc)
+            segs.append(segs[-1] + m)
     if not parts or segs[-1] == 0:
         return np.full((len(texts), NUM_PERM), np.iinfo(np.uint64).max,
                        dtype=np.uint64)
-    flat = np.concatenate(parts)
+    flat = splitmix64(np.concatenate(parts)) >> np.uint64(32)
     return _universal_min(flat, np.asarray(segs, dtype=np.int64))
 
 
