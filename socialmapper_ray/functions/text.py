@@ -106,24 +106,77 @@ def crc32_tokens(words: list[str]) -> np.ndarray:
                       dtype=np.uint64)
 
 
+def batch_token_hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Token crc32s of a whole batch: (flat uint64 array, doc segment
+    offsets len n+1). crc32 runs once per UNIQUE token in the batch
+    (factorize) — zipfian token frequency cuts the python hash loop by
+    the type/token ratio; values identical to per-occurrence hashing."""
+    tok_lists = [_WS_RE.split(t.strip()) if t.strip() else []
+                 for t in texts]
+    segs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    segs[1:] = np.cumsum([len(ws) for ws in tok_lists])
+    if segs[-1] == 0:
+        return np.empty(0, dtype=np.uint64), segs
+    flat = np.asarray([w for ws in tok_lists for w in ws], dtype=object)
+    codes, uniques = pd.factorize(flat, sort=False)
+    uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniques],
+                    dtype=np.uint64)
+    return uh[codes], segs
+
+
+def doc_fingerprint_scalar(t: str, shingle_k: int = 3) -> np.uint64:
+    """Per-doc reference path (dual oracle for the batch kernel)."""
+    from ..sources.synth import splitmix64
+
+    ws = _WS_RE.split(t.strip()) if t.strip() else []
+    if len(ws) < shingle_k:
+        base = crc32_tokens(ws) if ws else np.asarray([0], dtype=np.uint64)
+        return np.uint64(splitmix64(base).min())
+    h = crc32_tokens(ws)
+    acc = np.zeros(len(ws) - shingle_k + 1, dtype=np.uint64)
+    for i in range(shingle_k):
+        acc = acc * np.uint64(1099511628211) \
+            + h[i: len(h) - shingle_k + 1 + i]
+    return np.uint64(splitmix64(acc).min())
+
+
 def doc_fingerprint(text: pd.Series, shingle_k: int = 3) -> pd.Series:
     """64-bit rolling-shingle fingerprint: min over word-k-shingle hashes.
 
     Deterministic content fingerprint (cheap near-dup prefilter); the
-    mixing step is splitmix64 over crc32 word hashes.
+    mixing step is splitmix64 over crc32 word hashes. Batched: one
+    factorize-cached tokenizer pass, per-doc rolling accumulators, ONE
+    splitmix64 over the concatenation, per-doc min via
+    ``np.minimum.reduceat`` — identical values to
+    :func:`doc_fingerprint_scalar` (pytest dual oracle), no per-doc
+    python hash loop.
     """
     from ..sources.synth import splitmix64
 
-    def fp(t: str) -> np.uint64:
-        ws = _WS_RE.split(t.strip()) if t.strip() else []
-        if len(ws) < shingle_k:
-            base = crc32_tokens(ws) if ws else np.asarray([0], dtype=np.uint64)
-            return np.uint64(splitmix64(base).min())
-        h = crc32_tokens(ws)
-        # rolling polynomial combine of k consecutive word hashes
-        acc = np.zeros(len(ws) - shingle_k + 1, dtype=np.uint64)
-        for i in range(shingle_k):
-            acc = acc * np.uint64(1099511628211) + h[i: len(h) - shingle_k + 1 + i]
-        return np.uint64(splitmix64(acc).min())
-
-    return text.map(fp).astype(np.uint64)
+    texts = text.tolist()
+    th_flat, tsegs = batch_token_hashes(texts)
+    k = shingle_k
+    parts = []
+    seg_lens = []
+    with np.errstate(over="ignore"):
+        for i in range(len(tsegs) - 1):
+            th = th_flat[tsegs[i]:tsegs[i + 1]]
+            if len(th) == 0:
+                parts.append(np.asarray([0], dtype=np.uint64))
+                seg_lens.append(1)
+            elif len(th) < k:
+                parts.append(th)          # min over raw token mixes
+                seg_lens.append(len(th))
+            else:
+                m = len(th) - k + 1
+                acc = np.zeros(m, dtype=np.uint64)
+                for j in range(k):
+                    acc = acc * np.uint64(1099511628211) + th[j: m + j]
+                parts.append(acc)
+                seg_lens.append(m)
+    if not parts:
+        return pd.Series(np.empty(0, dtype=np.uint64))
+    mixed = splitmix64(np.concatenate(parts))
+    starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]]).astype(np.int64)
+    out = np.minimum.reduceat(mixed, starts)
+    return pd.Series(out, index=text.index, dtype=np.uint64)

@@ -109,22 +109,11 @@ def _token_hashes(text: str) -> np.ndarray:
 
 
 def _batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Token crc32s of a whole batch: (flat uint64 array, doc segment
-    offsets len n+1). crc32 runs once per UNIQUE token in the batch
-    (factorize) — natural-language token frequency is zipfian, so this
-    cuts the per-occurrence python hash loop (the measured hot spot of
-    the signature stages) by the type/token ratio. Values are identical
-    to per-occurrence hashing."""
-    tok_lists = [_WS.split(t.strip()) if t.strip() else [] for t in texts]
-    segs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
-    segs[1:] = np.cumsum([len(ws) for ws in tok_lists])
-    if segs[-1] == 0:
-        return np.empty(0, dtype=np.uint64), segs
-    flat = np.asarray([w for ws in tok_lists for w in ws], dtype=object)
-    codes, uniques = pd.factorize(flat, sort=False)
-    uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniques],
-                    dtype=np.uint64)
-    return uh[codes], segs
+    """Shared factorize-cached batch tokenizer (functions/text.py);
+    same whitespace split, crc32 once per unique token per batch."""
+    from ..functions.text import batch_token_hashes
+
+    return batch_token_hashes(list(texts))
 
 
 def _shingles_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:

@@ -77,3 +77,23 @@ def test_fingerprint_and_langid_deterministic():
     assert (f1 == f2).all()
     l1 = tx.predict_lang(docs["text"])
     assert set(l1.unique()) <= {"en", "fr", "es", "de", "und"}
+
+
+def test_fingerprint_batch_matches_scalar():
+    """Batched fingerprint kernel vs the per-doc reference path —
+    including empty, whitespace-only, and sub-shingle docs."""
+    import numpy as np
+    import pandas as pd
+
+    from socialmapper_ray.functions import text as tx
+
+    docs = pd.Series([
+        "", "   ", "one", "two words", "three word doc",
+        "a slightly longer document with several words in it",
+        "one two three four five six seven eight nine ten",
+        "repeated repeated repeated repeated",
+    ])
+    got = tx.doc_fingerprint(docs)
+    want = np.asarray([tx.doc_fingerprint_scalar(t) for t in docs],
+                      dtype=np.uint64)
+    assert (got.to_numpy() == want).all()
