@@ -56,8 +56,12 @@ _MASK32 = np.int64((1 << 32) - 1)
 
 def add_text_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     batch = batch.copy()
-    batch["text_hash"] = [hashlib.md5(t.encode("utf-8")).hexdigest()
-                          for t in batch[text_col]]
+    # md5 once per unique text in the batch: on duplicate-heavy corpora
+    # (the workload of this operator) copies co-batch frequently
+    codes, uniques = pd.factorize(batch[text_col], sort=False)
+    uh = np.asarray([hashlib.md5(t.encode("utf-8")).hexdigest()
+                     for t in uniques], dtype=object)
+    batch["text_hash"] = uh[codes]
     return batch
 
 
