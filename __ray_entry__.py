@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": rel.user_running_total,
         "radius_join": sp.radius_join_q,
         "events_quartiles_by_type": rel.events_quartiles_by_type,
+        "events_props_extract": rel.events_props_extract,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "user_running_total": rel.USER_RUNNING_TOTAL_SQL,
         "radius_join": sp.radius_join_sql(d),
         "events_quartiles_by_type": rel.EVENTS_QUARTILES_SQL,
+        "events_props_extract": rel.EVENTS_PROPS_SQL,
         "stratified_sample": tp.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": tp.PACK_SEQUENCES_SQL,
         "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,

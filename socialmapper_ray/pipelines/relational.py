@@ -1007,3 +1007,46 @@ SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
                      THEN v END) AS BIGINT) AS p75_e4
 FROM s GROUP BY event_type
 """
+
+
+def events_props_extract(sf_dir: str):
+    """JSON field extraction (§2.8 json flavour over the events side
+    channel): pull ``k`` out of the ``props`` JSON string with a
+    vectorized regex (no per-row json.loads) and aggregate per type.
+    The SQL oracle parses with DuckDB's real JSON extractor, so the
+    regex path is checked against a genuine JSON parser.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False) \
+            .astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"], "k": k}) \
+            .groupby("event_type", sort=False) \
+            .agg(n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")) \
+            .reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False) \
+              .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                   max_k=("max_k", "max")).reset_index()
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_events": g["n"].astype(np.int64),
+            "sum_k": g["sum_k"].astype(np.int64),
+            "max_k": g["max_k"].astype(np.int64),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY event_type
+"""
