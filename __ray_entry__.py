@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_agg": sp.zonal_agg_q,
         "knn_nearest": sp.knn_q,
         "knn_nearest_pruned": sp.knn_pruned_q,
+        "knn_topk": sp.knn_topk_q,
         "band_assign": sp.bands_q,
         "enrich_zones": sp.enrich_zones_q,
         "geoid_components": sp.geoid_components_q,
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": sp.radius_join_q,
         "events_quartiles_by_type": rel.events_quartiles_by_type,
         "events_props_extract": rel.events_props_extract,
+        "user_rolling_sum": rel.user_rolling_sum,
+        "user_event_gaps": rel.user_event_gaps,
+        "user_type_pivot": rel.user_type_pivot,
         # --- training-data ops (dedup / ANN / text analysis)
         "dedup_exact": tp.dedup_exact_q,
         "dedup_exact_salted": tp.dedup_exact_salted_q,
@@ -133,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_agg": sp.zonal_agg_sql(d),
         "knn_nearest": sp.knn_sql(d),
         "knn_nearest_pruned": sp.knn_sql(d),
+        "knn_topk": sp.knn_topk_sql(d),
         "band_assign": sp.bands_sql(d),
         "enrich_zones": sp.enrich_zones_sql(d),
         "geoid_components": sp.geoid_components_sql(d),
@@ -169,6 +174,9 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": sp.radius_join_sql(d),
         "events_quartiles_by_type": rel.EVENTS_QUARTILES_SQL,
         "events_props_extract": rel.EVENTS_PROPS_SQL,
+        "user_rolling_sum": rel.USER_ROLLING_SUM_SQL,
+        "user_event_gaps": rel.USER_EVENT_GAPS_SQL,
+        "user_type_pivot": rel.USER_TYPE_PIVOT_SQL,
         "stratified_sample": tp.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": tp.PACK_SEQUENCES_SQL,
         "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,

@@ -1050,3 +1050,131 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          AS max_k
 FROM events GROUP BY event_type
 """
+
+
+def user_rolling_sum(sf_dir: str, window: int = 3, n_buckets: int = 16):
+    """Per-user ROWS-window rolling sum (value over the current + 2
+    preceding events in ts order) — the bounded-frame window op. Same
+    bucket-exchange shape as user_running_total; the frame sum is a
+    vectorized grouped rolling over exact int64-e4 values."""
+    from ..stages.hash_join import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        v = (g["value"] * 10000).round().astype(np.int64)
+        roll = v.groupby(g["user_id"].to_numpy()) \
+                .rolling(window, min_periods=1).sum() \
+                .reset_index(drop=True)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64).to_numpy(),
+            "user_id": g["user_id"].astype(np.int64).to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "roll_sum_e4": roll.astype(np.int64).to_numpy(),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
+
+
+USER_ROLLING_SUM_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS 2 PRECEDING) AS BIGINT) AS roll_sum_e4
+FROM events
+"""
+
+
+def user_event_gaps(sf_dir: str, n_buckets: int = 16):
+    """LAG: microseconds since the user's previous event (first event
+    per user drops — inner-lag semantics, no nullable column)."""
+    from ..stages.hash_join import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts_us = g["ts"].astype("datetime64[us]").to_numpy().view(np.int64)
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        keep = same
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64).to_numpy()[keep],
+            "user_id": uid[keep].astype(np.int64),
+            "gap_us": gap[keep],
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
+
+
+USER_EVENT_GAPS_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events)
+WHERE prev_ts IS NOT NULL
+"""
+
+
+def user_type_pivot(sf_dir: str):
+    """Pivot: one row per user, one count column per event type
+    (long -> wide, the enrichment-join shape exposed as its own op).
+    Per-batch crosstab partials keep the exchange at one row per
+    (user, batch)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in types:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[types].reset_index()
+        ct.columns = ["user_id"] + [f"n_{t}" for t in types]
+        return ct
+
+    cols = [f"n_{t}" for t in types]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)[cols].sum().reset_index()
+        out = {"user_id": g["user_id"].astype(np.int64)}
+        for c in cols:
+            out[c] = g[c].astype(np.int64)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+
+
+USER_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""

@@ -871,3 +871,37 @@ def radius_join_sql(d: str, radius_km: float = 200.0) -> str:
     CROSS JOIN read_parquet('{d}/band_centers.parquet') c
     WHERE p.has_geo AND {_HAVERSINE_SQL} <= {radius_km}
     """
+
+
+def knn_topk_q(sf_dir: str, k: int = 3):
+    """k-nearest facilities per POI, ranked (J5 extended to true
+    top-k). Deterministic: the synthetic world has no exactly
+    equidistant (point, facility) pairs; ranks tie-break on distance
+    sort stability mirrored by the SQL row_number ORDER BY."""
+    ds = _extracted_valid(sf_dir)
+    centers_ref = knn_mod.centers_ref_from_parquet(
+        synth.table_path(sf_dir, "band_centers"))
+    out = knn_mod.knn_topk(ds, centers_ref, k=k, keep_cols=("url",))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "url": df["url"],
+            "rank": df["rank"].astype(np.int64),
+            "center_id": df["center_id"],
+            "distance_km": df["distance_km"].round(6)}),
+        batch_format="pandas")
+
+
+def knn_topk_sql(d: str, k: int = 3) -> str:
+    return f"""
+    WITH dist AS (
+      SELECT p.url, c.center_id, {_HAVERSINE_SQL} AS dkm
+      FROM read_parquet('{d}/pois_truth.parquet') p
+      CROSS JOIN read_parquet('{d}/band_centers.parquet') c
+      WHERE p.has_geo)
+    SELECT url,
+           CAST(row_number() OVER (PARTITION BY url
+                                   ORDER BY dkm, center_id) AS BIGINT)
+             AS rank,
+           center_id, ROUND(dkm, 6) AS distance_km
+    FROM dist QUALIFY rank <= {k}
+    """

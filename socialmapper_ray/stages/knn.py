@@ -242,3 +242,61 @@ def radius_join(points_ds, centers_ref, radius_km: float,
                                    keep_cols=keep_cols),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=clamp_concurrency(concurrency, 0.5), num_cpus=0.5)
+
+
+class TopKFacilities:
+    """Actor-pool stage: k nearest facilities per point, ranked
+    (reference J5 extended from argmin to true top-k — the BallTree
+    k>1 form of distance/engine.py:194-233). Same broadcast topology
+    as NearestFacility; per chunk one argpartition + ordered argsort
+    of the k finalists."""
+
+    def __init__(self, centers_ref, k: int = 3, keep_cols=("url",),
+                 lat_col="lat", lon_col="lon", chunk: int = 1024):
+        c = ray.get(centers_ref)
+        self.c_lat = np.asarray(c["lat"], dtype=np.float64)
+        self.c_lon = np.asarray(c["lon"], dtype=np.float64)
+        self.c_id = np.asarray(c["center_id"])
+        self.k = min(k, len(self.c_id))
+        self.keep_cols = list(keep_cols)
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+        self.chunk = chunk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        n = len(lat)
+        k = self.k
+        top_j = np.empty((n, k), dtype=np.int64)
+        top_d = np.empty((n, k), dtype=np.float64)
+        for s in range(0, n, self.chunk):
+            e = min(s + self.chunk, n)
+            d = geom.haversine_km(lat[s:e, None], lon[s:e, None],
+                                  self.c_lat[None, :], self.c_lon[None, :])
+            part = np.argpartition(d, k - 1, axis=1)[:, :k]
+            pd_ = np.take_along_axis(d, part, axis=1)
+            # order the k finalists by (distance, center ordinal) so
+            # equidistant facilities rank deterministically (lexsort:
+            # last key is primary)
+            order = np.lexsort((part, pd_), axis=1)
+            top_j[s:e] = np.take_along_axis(part, order, axis=1)
+            top_d[s:e] = np.take_along_axis(pd_, order, axis=1)
+        cols = {c: batch[c].take(pa.array(np.repeat(np.arange(n), k)))
+                for c in self.keep_cols}
+        cols["rank"] = pa.array(np.tile(np.arange(1, k + 1), n))
+        cols["center_id"] = pa.array(self.c_id[top_j.ravel()])
+        cols["distance_km"] = pa.array(top_d.ravel(), pa.float64())
+        return pa.table(cols)
+
+
+def knn_topk(points_ds, centers_ref, k: int = 3, keep_cols=("url",),
+             concurrency=4, batch_size: int = 4096):
+    from ..util import clamp_concurrency
+
+    return points_ds.map_batches(
+        TopKFacilities,
+        fn_constructor_kwargs=dict(centers_ref=centers_ref, k=k,
+                                   keep_cols=keep_cols),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=clamp_concurrency(concurrency, 0.5), num_cpus=0.5)

@@ -28,6 +28,7 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
                      ("pip_join_concave", sp.pip_join_concave_sql),
                      ("pip_join_partitioned", sp.pip_join_sql),
                      ("knn_nearest_pruned", sp.knn_sql),
+                     ("knn_topk", sp.knn_topk_sql),
                      ("zonal_agg", sp.zonal_agg_sql),
                      ("knn_nearest", sp.knn_sql),
                      ("band_assign", sp.bands_sql),
