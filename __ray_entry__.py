@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_hash": tp.sample_docs_hash_q,
         "stratified_sample": tp.stratified_sample_q,
         "pack_sequences": tp.pack_sequences_q,
+        "decontaminate": tp.decontaminate_q,
         "text_quality": tp.text_quality_q,
         "lang_id": tp.lang_id_q,
         "ann_topk": tp.ann_topk_q,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "user_type_pivot": rel.USER_TYPE_PIVOT_SQL,
         "stratified_sample": tp.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": tp.PACK_SEQUENCES_SQL,
+        "decontaminate": tp.DECONTAMINATE_SQL,
         "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,

@@ -583,3 +583,57 @@ def ann_topk_ivf_partitioned_q(sf_dir: str, k: int = 10, n_queries: int = 8,
             "rank": df["rank"].astype(np.int64),
             "score_r": df["score"].round(4)}),
         batch_format="pandas")
+
+
+def decontaminate_q(sf_dir: str, n_bench: int = 5,
+                    snip_start: int = 10, snip_len: int = 40):
+    """Benchmark decontamination: flag every document containing any
+    benchmark snippet as a literal substring — the standard eval-leak
+    check of an LLM training pipeline (the benchmark side here is
+    derived from the first ``n_bench`` docs, so the oracle can derive
+    the identical snippets in SQL).
+
+    Classic broadcast-small-side scan: the snippet list ships once;
+    each batch runs K vectorized literal-substring searches (for large
+    K the scale path is an Aho-Corasick automaton per actor — same
+    topology, different kernel).
+    """
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    bench = pq_.read_table(_p(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    bench = bench.filter(pc_.less(bench["doc_id"], n_bench))
+    snips = [(int(i), str(t)[snip_start:snip_start + snip_len])
+             for i, t in zip(bench["doc_id"].to_pylist(),
+                             bench["text"].to_pylist())]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_snip = [], []
+        for sid, s in snips:
+            if not s:
+                continue
+            m = df["text"].str.contains(s, regex=False)
+            hits = df.loc[m, "doc_id"].to_numpy(np.int64)
+            out_doc.append(hits)
+            out_snip.append(np.full(len(hits), sid, dtype=np.int64))
+        if not out_doc:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "snip_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "doc_id": np.concatenate(out_doc),
+            "snip_id": np.concatenate(out_snip)})
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
+DECONTAMINATE_SQL = """
+WITH snip AS (
+  SELECT doc_id AS snip_id, substring(text, 11, 40) AS s
+  FROM documents WHERE doc_id < 5)
+SELECT d.doc_id, snip.snip_id
+FROM documents d, snip
+WHERE length(snip.s) > 0 AND position(snip.s IN d.text) > 0
+"""
