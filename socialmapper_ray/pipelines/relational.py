@@ -1019,8 +1019,12 @@ def events_props_extract(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False) \
-            .astype(np.int64)
+        # coerce like the SQL's json_extract: a row without an integer
+        # k becomes NULL and drops out of SUM/MAX while still counting
+        # in n_events (pandas sum/max skip NaN by default)
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
         return pd.DataFrame({"event_type": df["event_type"], "k": k}) \
             .groupby("event_type", sort=False) \
             .agg(n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")) \

@@ -163,8 +163,9 @@ def text_quality_sql() -> str:
     stops = ", ".join(f"'{w}'" for w in tx.QUALITY_STOPWORDS)
     return f"""
     SELECT doc_id,
-      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-        AS token_count,
+      CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS BIGINT) AS token_count,
       CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                            w -> w IN ({stops}))) AS BIGINT) AS stop_count,
       CAST(floor(1e6 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -385,10 +386,10 @@ def sample_docs_hash_q(sf_dir: str, pct: int = 10):
     """
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
+    from ..util import lcg32
+
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.int64)
-        h = ((ids % 4294967296) * 1103515245 + 12345) % 4294967296
-        keep = (h % 100) < pct
+        keep = (lcg32(df["doc_id"].to_numpy(np.int64)) % 100) < pct
         out = df.loc[keep]
         return pd.DataFrame({
             "doc_id": out["doc_id"].astype(np.int64),
@@ -418,9 +419,10 @@ def stratified_sample_q(sf_dir: str):
     SQL-checkable."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
+    from ..util import lcg32
+
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.int64)
-        h = ((ids % 4294967296) * 1103515245 + 12345) % 4294967296 % 100
+        h = lcg32(df["doc_id"].to_numpy(np.int64)) % 100
         pct = df["lang"].map(STRATA_PCT).fillna(0).to_numpy(np.int64)
         out = df.loc[h < pct]
         return pd.DataFrame({
@@ -518,8 +520,10 @@ FROM (
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS cum
   FROM (SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                    AS BIGINT) AS n_tokens
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text),
+                                                        '\\s+'))
+                    END AS BIGINT) AS n_tokens
         FROM documents))
 """
 

@@ -216,10 +216,11 @@ def fit_ivf_centroids(path: str, n_clusters: int = 32,
         # keep-threshold in 32-bit hash space, seed-salted
         thresh = np.int64(max_fit_rows / n_total * 4294967296)
 
+        from ..util import lcg32
+
         def pick(df: pd.DataFrame) -> pd.DataFrame:
             ids = df["vec_id"].to_numpy(np.int64)
-            h = (((ids + np.int64(seed)) % 4294967296)
-                 * 1103515245 + 12345) % 4294967296
+            h = lcg32(ids + np.int64(seed))   # seed-salted sampling key
             return df.loc[h < thresh, ["vec_id", "embedding"]]
 
         rows = rd.read_parquet(path, columns=["vec_id", "embedding"]) \

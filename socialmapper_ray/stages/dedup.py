@@ -56,6 +56,11 @@ _MASK32 = np.int64((1 << 32) - 1)
 
 def add_text_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     batch = batch.copy()
+    if batch[text_col].isna().any():
+        # factorize codes NaN as -1, which would WRAP to the last
+        # unique's hash — fail loudly instead (the caller decides null
+        # semantics; silent mis-dedup is the worst outcome)
+        raise ValueError(f"add_text_hash: null values in {text_col!r}")
     # md5 once per unique text in the batch: on duplicate-heavy corpora
     # (the workload of this operator) copies co-batch frequently
     codes, uniques = pd.factorize(batch[text_col], sort=False)

@@ -93,7 +93,7 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
             # column would promote to float64 on merge, corrupting
             # 64-bit values); matched values round-trip losslessly
             r = r.astype({c: "Int64" for c in right_cols
-                          if c in int_fill_cols and c != right_on})
+                          if c in int_fill_cols})
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame(columns=all_cols)
         merged = l.merge(r, how=how, left_on=left_on, right_on=right_on)

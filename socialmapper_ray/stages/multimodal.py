@@ -146,13 +146,18 @@ class ImageThumbStage:
         self.thumb_hw = thumb_hw
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=[self.payload_col])
+        if df.empty:
+            out["thumb"] = pd.Series(dtype=object)
+            for c in ("mean_r", "mean_g", "mean_b"):
+                out[c] = pd.Series(dtype=np.float64)
+            return out
         thumbs, means = [], []
         for blob in df[self.payload_col]:
             img = fake_decode_image(blob, self.src_hw, self.src_hw)
             th = bilinear_resize(img, self.thumb_hw, self.thumb_hw)
             thumbs.append(np.round(th, 6).ravel())
             means.append(th.mean(axis=(0, 1)))
-        out = df.drop(columns=[self.payload_col])
         m = np.vstack(means)
         out["thumb"] = thumbs
         out["mean_r"] = np.round(m[:, 0], 6)
@@ -199,8 +204,16 @@ class FrameSampleStage:
                 ids.append(mid)
                 fidx.append(i)
                 feats.append(self.decoder._features(frame))
+        if not ids:
+            # keep the id column's dtype so empty blocks unify with
+            # non-empty ones (np.asarray([]) would yield float64)
+            return pd.DataFrame({
+                self.id_col: df[self.id_col].iloc[:0],
+                "frame_index": pd.Series(dtype=np.int64),
+                "features": pd.Series(dtype=object),
+            })
         return pd.DataFrame({
-            self.id_col: np.asarray(ids),
+            self.id_col: pd.Series(ids).to_numpy(),
             "frame_index": np.asarray(fidx, dtype=np.int64),
             "features": feats,
         })

@@ -56,3 +56,15 @@ def read_parquet_clean(path: str, columns: list[str] | None = None,
         return rd.read_parquet(path, columns=columns, schema=schema,
                                **kwargs)
     return rd.read_parquet(path, schema=full, **kwargs)
+
+
+def lcg32(ids):
+    """Repartition-stable 32-bit LCG hash of int64 keys — THE sampling
+    hash of this engine (sample_docs_hash / stratified_sample / IVF fit
+    all share it, and its SQL form is written literally in their
+    oracles: ((x % 2^32) * 1103515245 + 12345) % 2^32). All arithmetic
+    stays below 2^63, so int64 is exact on both engines."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    return ((ids % 4294967296) * 1103515245 + 12345) % 4294967296
