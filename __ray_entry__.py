@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase": rel.asof_purchase,
         "orders_without_lineitem": rel.orders_without_lineitem,
         "event_type_reach": rel.event_type_reach,
+        "event_type_reach_approx": rel.event_type_reach_approx,
         "user_running_total": rel.user_running_total,
         "radius_join": sp.radius_join_q,
         "events_quartiles_by_type": rel.events_quartiles_by_type,

@@ -1182,3 +1182,20 @@ SELECT user_id,
             AS BIGINT) AS n_view
 FROM events GROUP BY user_id
 """
+
+
+def event_type_reach_approx(sf_dir: str):
+    """Approximate COUNT DISTINCT via a mergeable HyperLogLog sketch
+    (stages/sketch.py) — the bounded-exchange variant of
+    event_type_reach for cardinalities where even the distinct-pair
+    stream is too big. Rows-only; estimator accuracy and merge
+    associativity are pytest-bounded (tests/test_sketch.py)."""
+    from ..stages.sketch import approx_distinct_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = approx_distinct_per_group(ds, "event_type", "user_id")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "event_type": df["event_type"],
+            "approx_distinct": df["approx_distinct"].astype(np.int64)}),
+        batch_format="pandas")

@@ -250,6 +250,9 @@ def test_hash_join_int_fill_exact_above_2_53(ray_session):
     out = out.sort_values("k").reset_index(drop=True)
     assert (out["k"].to_numpy() == ids).all()
     assert (out["component"].astype(np.int64).to_numpy() == ids - 7).all()
+    # the right KEY column must also survive exactly (it promotes to
+    # float64 if excluded from the Int64 cast)
+    assert (out["node"].astype(np.int64).to_numpy() == ids).all()
 
 
 def test_keep_distributed_ids_above_2_53(ray_session):
