@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": tp.stratified_sample_q,
         "pack_sequences": tp.pack_sequences_q,
         "decontaminate": tp.decontaminate_q,
+        "dedup_incremental": tp.dedup_incremental_q,
         "text_quality": tp.text_quality_q,
         "lang_id": tp.lang_id_q,
         "ann_topk": tp.ann_topk_q,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": tp.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": tp.PACK_SEQUENCES_SQL,
         "decontaminate": tp.DECONTAMINATE_SQL,
+        "dedup_incremental": tp.DEDUP_INCREMENTAL_SQL,
         "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,

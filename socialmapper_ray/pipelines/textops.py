@@ -641,3 +641,61 @@ SELECT d.doc_id, snip.snip_id
 FROM documents d, snip
 WHERE length(snip.s) > 0 AND position(snip.s IN d.text) > 0
 """
+
+
+def dedup_incremental_q(sf_dir: str, split_id: int = 250):
+    """Incremental ingest dedup: documents arriving in a NEW shard
+    (doc_id >= split) survive only if their content hash appears
+    neither in the already-ingested corpus (doc_id < split) nor earlier
+    within the new shard itself — the continuous-crawl ingest shape
+    (dedupe each delivery against the accumulated corpus manifest).
+
+    Both sides stream: the existing corpus contributes only per-batch
+    pre-deduped (hash) rows and the two sides meet in ONE bucketed
+    exchange (the orders_without_lineitem anti-join machinery keyed on
+    a hash instead of an int). At 100 TB the 'old' side is the keep
+    MANIFEST parquet, not a rescan — same operator either way.
+    """
+    from ..stages.dedup import add_text_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = 16
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = add_text_hash(df)[["doc_id", "text_hash"]]
+        out["is_new"] = (out["doc_id"] >= split_id).astype(np.int64)
+        # old side: only distinct hashes per batch need to travel
+        old = out.loc[out["is_new"] == 0].drop_duplicates("text_hash")
+        new = out.loc[out["is_new"] == 1]
+        out = pd.concat([old, new], ignore_index=True)
+        out["__bucket"] = pd.util.hash_array(
+            out["text_hash"].to_numpy(dtype=object)) \
+            .astype(np.int64) % np.int64(n_buckets)
+        return out
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g.loc[g["is_new"] == 0, "text_hash"])
+        new = g.loc[g["is_new"] == 1]
+        # earliest new doc per unseen hash survives
+        new = new.sort_values("doc_id").drop_duplicates("text_hash")
+        keep = new.loc[~new["text_hash"].isin(seen)]
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].astype(np.int64),
+            "text_hash": keep["text_hash"],
+        })
+
+    return ds.map_batches(prep, batch_format="pandas") \
+        .groupby("__bucket").map_groups(anti_bucket,
+                                        batch_format="pandas")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+     old AS (SELECT DISTINCT text_hash FROM hashed WHERE doc_id < 250),
+     new_first AS (
+       SELECT text_hash, MIN(doc_id) AS doc_id
+       FROM hashed WHERE doc_id >= 250 GROUP BY text_hash)
+SELECT n.doc_id, n.text_hash
+FROM new_first n
+WHERE n.text_hash NOT IN (SELECT text_hash FROM old)
+"""
