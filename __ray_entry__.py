@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": tp.decontaminate_q,
         "dedup_incremental": tp.dedup_incremental_q,
         "text_quality": tp.text_quality_q,
+        "text_repetition": tp.text_repetition_q,
         "lang_id": tp.lang_id_q,
         "ann_topk": tp.ann_topk_q,
     }
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),
+        "text_repetition": tp.TEXT_REPETITION_SQL,
         "ann_topk": tp.ANN_TOPK_SQL,
         "embedding_neardup": tp.EMBEDDING_NEARDUP_SQL,
     }

@@ -699,3 +699,73 @@ SELECT n.doc_id, n.text_hash
 FROM new_first n
 WHERE n.text_hash NOT IN (SELECT text_hash FROM old)
 """
+
+
+def text_repetition_q(sf_dir: str):
+    """Token repetition ratio per document (1 - distinct/total tokens,
+    floor-ppm) — the repetitive-boilerplate quality signal of LLM data
+    filtering. Distinct-per-doc counts come from ONE factorize pass
+    over the whole batch (codes) + a vectorized per-segment unique
+    count — no per-doc python set.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    import re
+
+    ws_re = re.compile(r"\s+")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        tok_lists = [ws_re.split(t.strip()) if t.strip() else []
+                     for t in texts]
+        n = len(texts)
+        n_tok = np.asarray([len(ws) for ws in tok_lists], dtype=np.int64)
+        # factorize CODES are exact token identity (a hash would
+        # undercount on collisions vs the SQL's list_distinct)
+        flat = np.asarray([w for ws in tok_lists for w in ws],
+                          dtype=object)
+        codes = pd.factorize(flat, sort=False)[0] if len(flat) \
+            else np.empty(0, dtype=np.int64)
+        # unique tokens per doc: sort (doc, code) pairs once, count
+        # boundaries per segment
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        order = np.lexsort((codes, doc_idx))
+        d_s, h_s = doc_idx[order], codes[order]
+        if len(d_s):
+            new = np.empty(len(d_s), dtype=bool)
+            new[0] = True
+            new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            n_distinct = np.bincount(d_s[new], minlength=n).astype(np.int64)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+        rep = np.zeros(n, dtype=np.int64)
+        nz = n_tok > 0
+        rep[nz] = np.floor(
+            1e6 * (1.0 - n_distinct[nz] / n_tok[nz])).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64).to_numpy(),
+            "n_tokens": n_tok,
+            "n_distinct": n_distinct,
+            "rep_ppm": rep,
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+TEXT_REPETITION_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       END AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(text),
+                                                         '\\s+')))
+       END AS BIGINT) AS n_distinct,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE floor(1e6 * (1.0 -
+                 CAST(len(list_distinct(regexp_split_to_array(
+                      trim(text), '\\s+'))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+'))))
+       END AS BIGINT) AS rep_ppm
+FROM documents
+"""
