@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": tp.dedup_incremental_q,
         "text_quality": tp.text_quality_q,
         "text_repetition": tp.text_repetition_q,
+        "domain_stats": tp.domain_stats_q,
         "lang_id": tp.lang_id_q,
         "ann_topk": tp.ann_topk_q,
     }
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),
         "text_repetition": tp.TEXT_REPETITION_SQL,
+        "domain_stats": tp.domain_stats_sql(d),
         "ann_topk": tp.ANN_TOPK_SQL,
         "embedding_neardup": tp.EMBEDDING_NEARDUP_SQL,
     }

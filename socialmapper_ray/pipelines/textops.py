@@ -769,3 +769,47 @@ SELECT doc_id,
        END AS BIGINT) AS rep_ppm
 FROM documents
 """
+
+
+def domain_stats_q(sf_dir: str):
+    """Per-domain rollup over the page stream (the crawl-curation
+    'host budget' view: pages and text volume per registered host).
+    Vectorized netloc split + per-batch partial aggregate; the
+    exchange carries one row per (domain, batch). Oracle reads the
+    same synth pages parquet with DuckDB string functions."""
+    from ..sources import synth
+
+    synth.ensure_synth(sf_dir)
+    from ..util import read_parquet_clean
+
+    pages = read_parquet_clean(
+        synth.table_path(sf_dir, "pages"), columns=["url", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        domain = df["url"].str.split("/").str[2]
+        chars = df["text"].str.len().astype(np.int64)
+        return pd.DataFrame({"domain": domain, "chars": chars}) \
+            .groupby("domain", sort=False) \
+            .agg(n=("chars", "size"), c=("chars", "sum")).reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("domain", sort=False).sum().reset_index()
+        return pd.DataFrame({
+            "domain": g["domain"],
+            "n_pages": g["n"].astype(np.int64),
+            "sum_chars": g["c"].astype(np.int64),
+        })
+
+    return pages.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def domain_stats_sql(d: str) -> str:
+    return f"""
+    SELECT split_part(url, '/', 3) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM read_parquet('{d}/pages.parquet/*.parquet')
+    GROUP BY domain
+    """

@@ -47,6 +47,9 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
                      ("radius_join", sp.radius_join_sql),
                      ("geocode_pois", sp.geocode_pois_sql)):
         oracles[name] = fn(d)
+    from socialmapper_ray.pipelines import textops as _tp
+
+    oracles["domain_stats"] = _tp.domain_stats_sql(d)
     return oracles
 
 
