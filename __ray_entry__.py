@@ -39,16 +39,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from socialmapper_ray.pipelines import spatial as sp
     from socialmapper_ray.pipelines import textops as tp
 
+    # ORDER MATTERS: the driver's correctness gate compares the FIRST 50
+    # entries against oracle_sql() at sf0.01. The window therefore holds
+    # the 50 queries with UNIQUE SQL oracles (incl. the training-data
+    # dedup/sampling/packing/ANN ops); near-twins that share an oracle
+    # with an in-window query (pip_join_partitioned, knn_nearest_pruned,
+    # order_lineitem_join_native), structurally oracle-less queries
+    # (zones_union, event_type_reach_approx, signature ops) and the
+    # remaining uniquely-oracled overflow (knn_topk, top_events_by_value,
+    # events_sliding, user_rolling_sum/gaps/pivot) sit in the tail —
+    # still verified by scripts/check_correctness.py and pytest.
     return {
-        # --- spatial engine (SURVEY.md §2: S2/S8, J1-J5, A2/A8, M4/M12, ST2/ST3)
+        # --- driver window (50): spatial engine -------------------------
         "extract_pois": sp.extract_pois_q,
         "pip_join": sp.pip_join_q,
         "pip_join_concave": sp.pip_join_concave_q,
-        "pip_join_partitioned": sp.pip_join_partitioned_q,
         "zonal_agg": sp.zonal_agg_q,
         "knn_nearest": sp.knn_q,
-        "knn_nearest_pruned": sp.knn_pruned_q,
-        "knn_topk": sp.knn_topk_q,
         "band_assign": sp.bands_q,
         "enrich_zones": sp.enrich_zones_q,
         "geoid_components": sp.geoid_components_q,
@@ -58,42 +65,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_neighbors": sp.zone_neighbors_q,
         "tract_semijoin": sp.tract_semijoin_q,
         "zone_kind_stats": sp.zone_kind_stats_q,
-        "zones_union": sp.zones_union_q,
         "zcta_by_prefix": sp.zcta_by_prefix_q,
         "geocode_pois": sp.geocode_pois_q,
         "zone_choropleth": sp.zone_choropleth_q,
         "band_polygons": sp.band_polygons_q,
         "network_bands": sp.network_bands_q,
-        # --- relational wide ops (groupby/join/sort/limit/window)
+        "radius_join": sp.radius_join_q,
+        # --- driver window: relational wide ops -------------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "events_hourly": rel.events_hourly,
         "sessionize": rel.sessionize,
-        "top_events_by_value": rel.top_events_by_value,
         "top_events_per_type": rel.top_events_per_type,
         "events_median_by_type": rel.events_median_by_type,
         "nation_rollup": rel.nation_rollup,
         "lang_counts": rel.lang_counts,
         "union_all_docs": rel.union_all_docs,
-        "events_sliding": rel.events_sliding,
         "order_lineitem_join": rel.order_lineitem_join,
-        "order_lineitem_join_native": rel.order_lineitem_join_native,
         "dedup_events_first": rel.dedup_events_first,
         "asof_purchase": rel.asof_purchase,
         "orders_without_lineitem": rel.orders_without_lineitem,
         "event_type_reach": rel.event_type_reach,
-        "event_type_reach_approx": rel.event_type_reach_approx,
         "user_running_total": rel.user_running_total,
-        "radius_join": sp.radius_join_q,
         "events_quartiles_by_type": rel.events_quartiles_by_type,
         "events_props_extract": rel.events_props_extract,
+        # --- driver window: training-data ops ---------------------------
+        "dedup_exact": tp.dedup_exact_q,
+        "dedup_exact_salted": tp.dedup_exact_salted_q,
+        "stratified_sample": tp.stratified_sample_q,
+        "pack_sequences": tp.pack_sequences_q,
+        "decontaminate": tp.decontaminate_q,
+        "dedup_incremental": tp.dedup_incremental_q,
+        "sample_docs_hash": tp.sample_docs_hash_q,
+        "text_quality": tp.text_quality_q,
+        "text_repetition": tp.text_repetition_q,
+        "domain_stats": tp.domain_stats_q,
+        "ann_topk": tp.ann_topk_q,
+        "embedding_neardup": tp.embedding_neardup_q,
+        # --- tail (past the driver cap; local gate + pytest) ------------
+        "pip_join_partitioned": sp.pip_join_partitioned_q,
+        "knn_nearest_pruned": sp.knn_pruned_q,
+        "knn_topk": sp.knn_topk_q,
+        "zones_union": sp.zones_union_q,
+        "top_events_by_value": rel.top_events_by_value,
+        "events_sliding": rel.events_sliding,
+        "order_lineitem_join_native": rel.order_lineitem_join_native,
+        "event_type_reach_approx": rel.event_type_reach_approx,
         "user_rolling_sum": rel.user_rolling_sum,
         "user_event_gaps": rel.user_event_gaps,
         "user_type_pivot": rel.user_type_pivot,
-        # --- training-data ops (dedup / ANN / text analysis)
-        "dedup_exact": tp.dedup_exact_q,
-        "dedup_exact_salted": tp.dedup_exact_salted_q,
         "media_features": tp.media_features_q,
         "media_thumbs": tp.media_thumbs_q,
         "media_frames": tp.media_frames_q,
@@ -103,21 +124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": tp.ngram_jaccard_pairs_q,
         "dedup_simhash_pairs": tp.simhash_pairs_q,
         "doc_fingerprint": tp.fingerprint_q,
-        "embedding_neardup": tp.embedding_neardup_q,
         "ann_topk_lsh": tp.ann_topk_lsh_q,
         "ann_topk_ivf": tp.ann_topk_ivf_q,
         "ann_topk_ivf_partitioned": tp.ann_topk_ivf_partitioned_q,
         "sample_docs": tp.sample_docs_q,
-        "sample_docs_hash": tp.sample_docs_hash_q,
-        "stratified_sample": tp.stratified_sample_q,
-        "pack_sequences": tp.pack_sequences_q,
-        "decontaminate": tp.decontaminate_q,
-        "dedup_incremental": tp.dedup_incremental_q,
-        "text_quality": tp.text_quality_q,
-        "text_repetition": tp.text_repetition_q,
-        "domain_stats": tp.domain_stats_q,
         "lang_id": tp.lang_id_q,
-        "ann_topk": tp.ann_topk_q,
     }
 
 
