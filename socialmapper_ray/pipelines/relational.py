@@ -1034,11 +1034,23 @@ def events_props_extract(sf_dir: str):
         g = df.groupby("event_type", sort=False) \
               .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
                    max_k=("max_k", "max")).reset_index()
+        # SQL NULL semantics: a type with NO integer k anywhere yields
+        # NULL sum/max (pandas would give sum=0 and a non-finite-cast
+        # crash on max). max_k is NaN exactly when no partial saw a
+        # valid k; mask sum_k by it and emit nullable Int64 only on
+        # that pathological shape (plain int64 on normal data).
+        no_k = g["max_k"].isna()
+        if no_k.any():
+            sum_k = g["sum_k"].where(~no_k).astype("Int64")
+            max_k = g["max_k"].astype("Int64")
+        else:
+            sum_k = g["sum_k"].astype(np.int64)
+            max_k = g["max_k"].astype(np.int64)
         return pd.DataFrame({
             "event_type": g["event_type"],
             "n_events": g["n"].astype(np.int64),
-            "sum_k": g["sum_k"].astype(np.int64),
-            "max_k": g["max_k"].astype(np.int64),
+            "sum_k": sum_k,
+            "max_k": max_k,
         })
 
     return ds.map_batches(partial, batch_format="pandas") \

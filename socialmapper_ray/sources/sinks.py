@@ -46,21 +46,23 @@ class GeoParquetExporter(ParquetExporter):
     Geometry stays WKB; only file metadata is added, per the GeoParquet
     1.0 spec layout."""
 
-    def __init__(self, geometry_column: str = "wkb", crs: str = "EPSG:4326",
-                 **kw):
+    def __init__(self, geometry_column: str = "wkb", crs=None, **kw):
         super().__init__(**kw)
         self.geometry_column = geometry_column
+        # GeoParquet 1.0 `crs` is a PROJJSON OBJECT, not an "EPSG:x"
+        # string (strict geopandas/GDAL validators reject the string
+        # form). None omits the key entirely — the spec default is
+        # OGC:CRS84, i.e. lon/lat WGS84, exactly this engine's frame.
         self.crs = crs
 
     def geo_metadata(self) -> bytes:
+        col = {"encoding": "WKB", "geometry_types": []}
+        if self.crs is not None:
+            col["crs"] = self.crs     # caller-supplied PROJJSON dict
         return json.dumps({
             "version": "1.0.0",
             "primary_column": self.geometry_column,
-            "columns": {self.geometry_column: {
-                "encoding": "WKB",
-                "geometry_types": [],
-                "crs": self.crs,
-            }},
+            "columns": {self.geometry_column: col},
         }).encode()
 
     def export(self, ds, out_dir: str, columns: list[str] | None = None,

@@ -284,6 +284,47 @@ def _pairs_from_sorted_groups(grp_a: np.ndarray, grp_b: np.ndarray,
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+def _pair_bucket_col(a: np.ndarray, b: np.ndarray,
+                     n_buckets: int) -> np.ndarray:
+    """Deterministic bucket of an (a, b) pair key — both ids mixed so
+    pairs distribute evenly even when one endpoint is a hot hub."""
+    from ..sources.synth import splitmix64
+
+    au = np.asarray(a, dtype=np.int64).astype(np.uint64)
+    bu = np.asarray(b, dtype=np.int64).astype(np.uint64)
+    mixed = splitmix64(au ^ splitmix64(bu))
+    return (mixed % np.uint64(n_buckets)).astype(np.int64)
+
+
+def combine_pair_partials(partials, agg: dict, n_buckets: int = 16):
+    """Keyed combine of per-bucket (a, b, value) partials: hash-bucket
+    the pair key, ONE vectorized pandas aggregate per bucket. No
+    single-task funnel — the pair set can be any size (at 100 TB the
+    candidate list of a boilerplate-heavy crawl is O(corpus), so the
+    combine must shuffle, not ``repartition(1)``).
+
+    agg: column -> 'sum' | 'min' (pandas named-agg spec).
+    """
+    cols = list(agg)
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(__cb=np.empty(0, np.int64))
+        out = df.copy()
+        out["__cb"] = _pair_bucket_col(out["a"].to_numpy(),
+                                       out["b"].to_numpy(), n_buckets)
+        return out
+
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], sort=False)[cols].agg(agg).reset_index()
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return partials.map_batches(bucketed, batch_format="pandas") \
+        .groupby("__cb").map_groups(combine_bucket, batch_format="pandas")
+
+
 def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                     n_buckets: int = 64, group_cap: int = 256,
                     combine: bool = True):
@@ -296,10 +337,9 @@ def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     per-band-group map_groups variant pays ~60 us of pandas overhead
     per tiny group; at 32 bands x 1e5 docs that was the measured 11 s
     hot spot). The exchange moves only (band_id, band_hash, id) rows —
-    text never shuffles. Per-bucket partial (a, b) counts tree-combine
-    at the end: candidate pairs are the *output* of LSH blocking and
-    are bounded far below the corpus size; for a pair set that outgrows
-    one block, swap the final combine for ``groupby(['a','b']).sum()``.
+    text never shuffles. Per-bucket partial (a, b) counts combine via a
+    keyed pair-hash groupby (:func:`combine_pair_partials`) — no
+    single-task funnel, so the pair set may be any size.
     """
     import ray.data as rd
 
@@ -330,20 +370,11 @@ def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     if not combine:
         # per-bucket partials: a pair co-occurring in bands of different
         # buckets appears once per bucket (callers that only need the
-        # candidate SET — e.g. the verifier — dedupe the small pair list
-        # themselves and save this exchange)
+        # candidate SET — e.g. the verifier — dedupe distributedly and
+        # save this exchange)
         return partials
 
-    def combine_fn(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        out = df.groupby(["a", "b"], sort=False)["n_bands"].sum() \
-                .reset_index()
-        out["n_bands"] = out["n_bands"].astype(np.int64)
-        return out
-
-    return partials.repartition(1).map_batches(
-        combine_fn, batch_format="pandas", batch_size=None)
+    return combine_pair_partials(partials, {"n_bands": "sum"})
 
 
 def jaccard(a_sh: np.ndarray, b_sh: np.ndarray) -> float:
@@ -417,24 +448,74 @@ def candidate_feature_ds(ds, cand_ids_ref, feature: str = "shingles",
         concurrency=clamp_concurrency(4, 0.5), num_cpus=0.5)
 
 
+def distinct_pairs(cands, n_buckets: int = 16):
+    """Distributed distinct of an (a, b) pair Dataset: hash-bucket the
+    pair key, per-bucket ``drop_duplicates`` (a pair's every occurrence
+    lands in one bucket, so per-bucket dedup is global dedup). Extra
+    columns are dropped; output is (a, b) int64."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "a": df["a"].to_numpy().astype(np.int64),
+            "b": df["b"].to_numpy().astype(np.int64)})
+        out["__cb"] = _pair_bucket_col(out["a"].to_numpy(),
+                                       out["b"].to_numpy(), n_buckets)
+        return out
+
+    return cands.map_batches(bucketed, batch_format="pandas") \
+        .groupby("__cb").map_groups(
+            lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+            batch_format="pandas")
+
+
+def distinct_member_ids(members, id_col: str = "doc_id",
+                        n_buckets: int = 16) -> np.ndarray:
+    """Distributed distinct of one int64 id column -> sorted numpy
+    array on the driver. Per-batch ``np.unique`` pre-shrinks the
+    exchange; the id-hash bucket groupby makes per-bucket unique global;
+    ONLY the globally-unique id array is collected — never the pair
+    list it came from (strictly smaller: ids <= 2 x pairs, and on
+    dup-heavy corpora orders of magnitude smaller)."""
+
+    def batch_unique(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df[id_col].to_numpy().astype(np.int64))
+        return pd.DataFrame({id_col: u,
+                             "__ib": u % np.int64(n_buckets)})
+
+    uniq = members.map_batches(batch_unique, batch_format="pandas") \
+        .groupby("__ib").map_groups(
+            lambda g: g.drop_duplicates(id_col)[[id_col]],
+            batch_format="pandas").to_pandas()
+    if len(uniq) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(uniq[id_col].to_numpy().astype(np.int64))
+
+
 def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
                              text_col: str = "text",
                              threshold: float = 0.5,
                              feature: str = "shingles",
                              n_buckets: int = 8):
     """Exact-Jaccard verification of LSH candidate pairs WITHOUT
-    materialising the corpus on the driver.
+    materialising the corpus — or the candidate pair list — on the
+    driver.
 
     Exchange plan (the 100 TB shape):
-    1. the candidate pair list (LSH output — small by construction) is
-       the only driver-side table; its id set broadcasts via ray.put;
-    2. features of candidate docs are computed inside the doc stream
-       (:func:`candidate_feature_ds`) — text never moves;
-    3. pairs explode to one row per (pair, member) and hash-join
-       against the feature rows on doc id (stages/hash_join.py — one
-       bucketed exchange);
-    4. a second grouping on the pair id reunites the two members and a
-       vectorized set-intersection emits (a, b, jaccard).
+    1. candidate pairs dedupe distributedly (:func:`distinct_pairs` —
+       pair-hash bucket groupby) and explode Dataset-side to one row
+       per (a, b, member); the pair list never reaches the driver (on a
+       boilerplate-heavy crawl LSH candidates are O(corpus));
+    2. the only driver-side array is the *distinct member id* column
+       (:func:`distinct_member_ids`), broadcast once via ``ray.put`` to
+       filter the doc stream;
+    3. features of candidate docs are computed inside the doc stream
+       (:func:`candidate_feature_ds`) — text never moves — and meet the
+       member rows in one bucketed hash join on doc id;
+    4. a second pair-key grouping reunites the two members and a
+       vectorized set-intersection emits (a, b, jaccard). Duplicate
+       (pair, member) rows — a dirty corpus carrying repeated doc_id
+       rows — are dropped before the scan so a pair never compares a
+       member against itself.
 
     Returns a Dataset (a, b, jaccard) filtered to >= threshold; values
     identical to the driver-side :func:`verify_pairs` (same feature
@@ -445,48 +526,65 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
 
     from .hash_join import hash_join
 
-    cand_df = cands.to_pandas() if hasattr(cands, "to_pandas") else cands
-    cand_df = cand_df.drop_duplicates(["a", "b"])
+    if hasattr(cands, "to_numpy"):         # pandas compat (tests)
+        cands = rd.from_pandas(cands)
     empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
                           "b": pd.Series(dtype=np.int64),
                           "jaccard": pd.Series(dtype=np.float64)})
-    if len(cand_df) == 0:
-        return rd.from_pandas(empty)
-    a = cand_df["a"].to_numpy().astype(np.int64)
-    b = cand_df["b"].to_numpy().astype(np.int64)
-    ids_ref = ray.put(np.unique(np.concatenate([a, b])))
+
+    pairs = distinct_pairs(cands, n_buckets=max(n_buckets, 16))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "a": np.concatenate([a, a]),
+            "b": np.concatenate([b, b]),
+            id_col: np.concatenate([a, b]),
+        })
+
+    members = pairs.map_batches(explode, batch_format="pandas") \
+        .materialize()      # consumed twice: id distinct + the join
+    ids_ref = ray.put(distinct_member_ids(members, id_col))
     feats = candidate_feature_ds(ds, ids_ref, feature, id_col, text_col)
 
-    pidx = np.arange(len(cand_df), dtype=np.int64)
-    exploded = rd.from_pandas(pd.DataFrame({
-        "pair_id": np.concatenate([pidx, pidx]),
-        "a": np.concatenate([a, a]),
-        "b": np.concatenate([b, b]),
-        id_col: np.concatenate([a, b]),
-    }))
     joined = hash_join(
-        exploded, feats, left_on=id_col, right_on=id_col,
-        left_cols=["pair_id", "a", "b", id_col], right_cols=[id_col, "feat"],
-        n_buckets=n_buckets, int_fill_cols=("pair_id", "a", "b"))
+        members, feats, left_on=id_col, right_on=id_col,
+        left_cols=["a", "b", id_col], right_cols=[id_col, "feat"],
+        n_buckets=n_buckets, int_fill_cols=("a", "b"))
 
     def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__pb"] = (df["pair_id"].to_numpy().astype(np.int64)
-                      % np.int64(n_buckets))
+        df["__pb"] = _pair_bucket_col(df["a"].to_numpy(),
+                                      df["b"].to_numpy(), n_buckets)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pair_id", kind="stable")
-        pid = g["pair_id"].to_numpy()
+        # a dirty corpus with duplicate doc_id rows yields one feat row
+        # per occurrence; without this drop rows s/s+1 of a run could
+        # both be the SAME member (jaccard(a,a)=1 -> false duplicate)
+        g = g.drop_duplicates(["a", "b", id_col]) \
+             .sort_values(["a", "b", id_col], kind="stable")
+        ga = g["a"].to_numpy().astype(np.int64)
+        gb = g["b"].to_numpy().astype(np.int64)
+        mem = g[id_col].to_numpy().astype(np.int64)
         feats = g["feat"].to_numpy()
-        ga = g["a"].to_numpy()
-        gb = g["b"].to_numpy()
-        starts = np.flatnonzero(np.concatenate(
-            [[True], pid[1:] != pid[:-1]]))
+        n = len(ga)
+        if n == 0:
+            return empty
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (ga[1:] != ga[:-1]) | (gb[1:] != gb[:-1])
+        starts = np.flatnonzero(new)
         out_a, out_b, out_j = [], [], []
         for s in starts:
-            if s + 1 >= len(pid) or pid[s + 1] != pid[s]:
-                continue            # a member doc was missing from ds
+            # complete pair: exactly rows (s, s+1) == members (a, b)
+            # (a < b always, and members sort ascending within a pair);
+            # a singleton run means a member doc was missing from ds
+            if s + 1 >= n or new[s + 1]:
+                continue
+            if mem[s] != ga[s] or mem[s + 1] != gb[s]:
+                continue
             j = jaccard(np.frombuffer(feats[s], dtype=np.uint64),
                         np.frombuffer(feats[s + 1], dtype=np.uint64))
             if j >= threshold:
@@ -599,8 +697,23 @@ def connected_components(pairs_df: pd.DataFrame, nodes: np.ndarray,
     if len(pairs_df) == 0 or len(nodes) == 0:
         return pd.DataFrame({"node": nodes, "component": nodes})
     sort_nodes = np.sort(nodes)
-    a = np.searchsorted(sort_nodes, pairs_df["a"].to_numpy())
-    b = np.searchsorted(sort_nodes, pairs_df["b"].to_numpy())
+
+    def index_of(vals: np.ndarray) -> np.ndarray:
+        # membership-checked: an endpoint absent from ``nodes`` would
+        # otherwise index out of range or silently alias to a wrong
+        # node, corrupting components
+        v = np.asarray(vals, dtype=np.int64)
+        pos = np.minimum(np.searchsorted(sort_nodes, v),
+                         len(sort_nodes) - 1)
+        bad = sort_nodes[pos] != v
+        if bad.any():
+            raise ValueError(
+                f"connected_components: {int(bad.sum())} edge endpoints "
+                f"not in the node universe (e.g. {v[bad][:5].tolist()})")
+        return pos
+
+    a = index_of(pairs_df["a"].to_numpy())
+    b = index_of(pairs_df["b"].to_numpy())
     eu = np.concatenate([a, b])
     ev = np.concatenate([b, a])
     lab = np.arange(len(sort_nodes), dtype=np.int64)
@@ -967,8 +1080,8 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     hash-bucketed by (block_id, block_val) so each of the ~n_buckets
     ``map_groups`` calls handles many groups with the vectorized
     kernel; only groups with >= 2 members do pair work. Final (a, b)
-    min-hamming dedupe tree-combines (pair output is small; swap for
-    groupby(['a','b']).min() if it ever isn't).
+    min-hamming dedupe is a keyed pair-hash combine
+    (:func:`combine_pair_partials`) — scales with the pair set.
     """
     def block_rows_bucketed(b: pd.DataFrame) -> pd.DataFrame:
         out = simhash_blocks(b, id_col, text_col)
@@ -1015,12 +1128,4 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
     partials = blocks.groupby("__bucket").map_groups(
         emit_bucket, batch_format="pandas")
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        return df.groupby(["a", "b"], sort=False)["hamming"].min() \
-                 .reset_index()
-
-    return partials.repartition(1).map_batches(
-        combine, batch_format="pandas", batch_size=None)
+    return combine_pair_partials(partials, {"hamming": "min"})

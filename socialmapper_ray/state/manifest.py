@@ -144,18 +144,18 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
     A killed run therefore leaves either (a) only invisible staging
     files, or (b) a partition mid-publish without a manifest — both
     rewritten cleanly by the next resume, never silently duplicated.
-    Ray-retried write tasks are also safe: staged files are named by
-    (task id, in-task sequence) — the task id is STABLE across retries
-    of the same task (Ray re-runs under the same id) and the write UDF
-    is deserialized fresh per task attempt, so a retry rewrites exactly
-    the same file names instead of appending duplicates. A content hash
-    cannot serve here: two DIFFERENT batches whose rows happen to be
-    identical (duplicates are normal pre-dedup) would collide on one
-    name and silently halve the data. The manifest row count is
-    re-derived from the published files' parquet metadata, not from
-    possibly-double-counted task stats.
+    Ray-retried write tasks are also safe: every staged file gets a
+    fresh unique name AND the writing batch RECORDS that name in its
+    output table — publish moves exactly the files recorded in the
+    collected stats. Ray discards the outputs of failed task attempts,
+    so a retried task's earlier partial files are never in the stats;
+    they linger invisibly in the staging dir and are deleted with it.
+    (Deterministic (task, seq) names cannot serve here: Ray caches
+    deserialized UDFs per worker process, so a retry on a live worker
+    resumes the closure's counter and mints NEW names — silently
+    publishing both attempts.) The manifest row count comes from the
+    published files' parquet metadata, which now equals the stats sum.
     """
-    import itertools
     import uuid
 
     import pyarrow as pa
@@ -166,27 +166,10 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
     run_id = uuid.uuid4().hex[:12]
 
     written: set[str] = set()
-    # per-(task attempt) batch counters; the closure dict is serialized
-    # empty into each task and reset on deserialization, so retries of
-    # a task replay the same (task_id, seq) names from zero
-    seq_by_task: dict = {}
-
-    def _task_token() -> str:
-        try:
-            import ray
-
-            tid = ray.get_runtime_context().get_task_id()
-        except Exception:
-            tid = None
-        if not tid:  # driver-local execution path
-            tid = f"local-{os.getpid()}"
-        return hashlib.md5(str(tid).encode()).hexdigest()[:12]
 
     def write_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        task = _task_token()
-        counter = seq_by_task.setdefault(task, itertools.count())
-        out_rows = {"partition": [], "rows": []}
+        out_rows = {"partition": [], "rows": [], "fname": []}
         for val, grp in df.groupby(partition_col, sort=False):
             key = str(val)
             if key in done:
@@ -194,20 +177,20 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
             stage = os.path.join(out_dir, f"{partition_col}={key}",
                                  f".run-{run_id}")
             os.makedirs(stage, exist_ok=True)
-            seq = next(counter)
-            tmp = os.path.join(stage, f".tmp-{uuid.uuid4().hex}.parquet")
+            fname = f"part-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(stage, f".tmp-{fname}")
             papq.write_table(pa.Table.from_pandas(grp, preserve_index=False),
                              tmp, compression="snappy")
-            os.rename(tmp, os.path.join(stage,
-                                        f"part-{task}-{seq:05d}.parquet"))
+            os.rename(tmp, os.path.join(stage, fname))
             out_rows["partition"].append(key)
             out_rows["rows"].append(len(grp))
+            out_rows["fname"].append(fname)
         return pa.table(out_rows)
 
     stats = ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
     if len(stats):
-        agg = stats.groupby("partition")["rows"].sum()
-        for key, n in agg.items():
+        for key, part_stats in stats.groupby("partition"):
+            key = str(key)
             pdir = os.path.join(out_dir, f"{partition_col}={key}")
             stage = os.path.join(pdir, f".run-{run_id}")
             # publish: clear stale visible files + other runs' staging
@@ -221,7 +204,9 @@ def resumable_partitioned_write(ds, out_dir: str, partition_col: str,
                 else:
                     os.remove(p)
             n_pub = 0
-            for fname in sorted(os.listdir(stage)):
+            # only files recorded by SUCCESSFUL task attempts move up;
+            # failed-attempt leftovers die with the staging dir below
+            for fname in sorted(part_stats["fname"]):
                 src = os.path.join(stage, fname)
                 os.rename(src, os.path.join(pdir, fname))
                 n_pub += papq.ParquetFile(

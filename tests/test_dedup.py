@@ -276,3 +276,70 @@ def test_keep_distributed_ids_above_2_53(ray_session):
     assert out.loc[1, "component"] == base + 1
     assert bool(out.loc[0, "keep"]) and not bool(out.loc[1, "keep"])
     assert out.loc[2, "component"] == base + 5 and bool(out.loc[2, "keep"])
+
+
+def test_verify_distributed_driver_collect_bounded(ray_session, monkeypatch):
+    """The distributed verify path must never materialise the candidate
+    PAIR list on the driver: with 40 texts x 60 copies the LSH pair set
+    is ~40 * C(60,2) = 70k pairs but only 2,400 distinct doc ids. Every
+    driver-side collection (to_pandas / take_all) during the run must be
+    bounded by the id count, not the pair count."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    texts = [f"unique document body number {i} with shared filler words "
+             f"alpha beta gamma delta epsilon zeta eta theta" * 2
+             for i in range(40)]
+    n_copies = 60
+    df = pd.DataFrame({
+        "doc_id": np.arange(40 * n_copies, dtype=np.int64),
+        "text": [texts[i % 40] for i in range(40 * n_copies)],
+    })
+    ds = rd.from_pandas(df)
+
+    collected = []
+    orig_to_pandas = Dataset.to_pandas
+
+    def spy_to_pandas(self, *a, **k):
+        out = orig_to_pandas(self, *a, **k)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(Dataset, "to_pandas", spy_to_pandas)
+    cands = dedup.candidate_pairs(ds, combine=False, group_cap=1 << 30)
+    verified = dedup.verify_pairs_distributed(cands, ds, threshold=0.9)
+    got = orig_to_pandas(verified)
+    n_pairs = len(got)
+    assert n_pairs >= 40 * (n_copies * (n_copies - 1) // 2) * 9 // 10
+    n_ids = df["doc_id"].nunique()
+    # every driver collection inside the verify path is <= the distinct
+    # id count (the broadcast side), never the O(pairs) edge list
+    assert collected, "expected the distinct-id collection"
+    assert max(collected) <= n_ids, (collected, n_ids, n_pairs)
+    assert max(collected) * 10 < n_pairs
+
+
+def test_connected_components_rejects_unknown_endpoints():
+    pairs = pd.DataFrame({"a": [1, 2], "b": [2, 99]})
+    with pytest.raises(ValueError, match="not in the node universe"):
+        dedup.connected_components(pairs, np.asarray([1, 2, 3]))
+
+
+def test_verify_distributed_dirty_duplicate_doc_ids(ray_session):
+    """Duplicate doc_id rows in the corpus must not produce
+    jaccard(a,a)=1 false duplicates (each pair sees exactly its two
+    members once)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": [1, 1, 2, 2, 3],
+        "text": ["alpha beta gamma delta epsilon"] * 2
+                + ["zeta eta theta iota kappa"] * 2
+                + ["completely different words here now"],
+    })
+    ds = rd.from_pandas(df)
+    cands = pd.DataFrame({"a": [1, 1], "b": [2, 3]})
+    got = dedup.verify_pairs_distributed(cands, ds, threshold=0.99) \
+        .to_pandas()
+    # texts of 1 vs 2 and 1 vs 3 share nothing: no pair may survive
+    assert len(got) == 0

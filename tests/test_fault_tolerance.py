@@ -61,8 +61,8 @@ def test_extraction_idempotent_under_retry(ray_session):
     synth.ensure_synth(SF)
     fail_flag = os.path.join(FLAG_DIR, "extract-failed")
 
-    def flaky_extract(df: pd.DataFrame) -> pd.DataFrame:
-        out = extract.extract_batch(df)
+    def flaky_extract(tbl) -> "pa.Table":
+        out = extract.extract_batch(tbl)
         if not os.path.exists(fail_flag):
             with open(fail_flag, "w") as f:
                 f.write("x")
@@ -71,7 +71,7 @@ def test_extraction_idempotent_under_retry(ray_session):
 
     pages = rd.read_parquet(synth.table_path(SF, "pages"))
     got = pages.map_batches(
-        flaky_extract, batch_format="pandas",
+        flaky_extract, batch_format="pyarrow",
         retry_exceptions=[RuntimeError], max_retries=3) \
         .to_pandas().sort_values("url").reset_index(drop=True)
     want = extract.extract_pois(pages).to_pandas() \

@@ -136,6 +136,9 @@ def test_geoparquet_export_metadata(ray_session):
     geo = json.loads(meta[b"geo"])
     assert geo["primary_column"] == "wkb"
     assert geo["columns"]["wkb"]["encoding"] == "WKB"
+    # GeoParquet 1.0: crs must be PROJJSON or ABSENT (default OGC:CRS84
+    # = lon/lat WGS84); the "EPSG:4326" string form fails strict readers
+    assert "crs" not in geo["columns"]["wkb"]
     # round-trip: WKB survives and decodes
     back = pq.read_table(os.path.join(out, files[0])).to_pandas()
     _, coords = geom.wkb_decode(back["wkb"].iloc[0])
