@@ -57,3 +57,57 @@ def validate_coords(lat: pd.Series, lon: pd.Series) -> pd.Series:
     lat in [-90, 90], lon in [-180, 180], non-null."""
     return (lat.notna() & lon.notna()
             & lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native kernels (zero pandas round-trip in the extract hot path)
+# ---------------------------------------------------------------------------
+
+_META_RE_A = (r'(?s)<meta name="geo\.position" '
+              r'content="(?P<glat>-?\d+\.\d+);(?P<glon>-?\d+\.\d+)">')
+_INLINE_RE_A = r"(?s)GPS: (?P<ilat>-?\d+\.\d+), (?P<ilon>-?\d+\.\d+)"
+_NAME_RE_A = r'(?s)<meta name="geo\.placename" content="(?P<nm>[^"]*)">'
+_TITLE_RE_A = r"(?s)<title>(?P<t>.*?)</title>"
+
+
+def geoparse_arrow(html) -> dict:
+    """Arrow-native :func:`geoparse`: html column -> dict of Arrow
+    arrays (lat, lon, name, geo_kind), pytest-equal to the pandas
+    kernel. RE2 ``extract_regex`` passes + ``if_else`` precedence; the
+    string->double cast is correctly-rounded in both Arrow and glibc
+    strtod, so the float leg of the byte-identity invariant holds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .text import decode_html_arrow
+
+    s = decode_html_arrow(html)
+    meta = pc.extract_regex(s, _META_RE_A)
+    inline = pc.extract_regex(s, _INLINE_RE_A)
+    nm = pc.struct_field(pc.extract_regex(s, _NAME_RE_A), "nm")
+    title = pc.struct_field(pc.extract_regex(s, _TITLE_RE_A), "t")
+
+    mlat, mlon = pc.struct_field(meta, "glat"), pc.struct_field(meta, "glon")
+    ilat, ilon = (pc.struct_field(inline, "ilat"),
+                  pc.struct_field(inline, "ilon"))
+    has_meta = pc.is_valid(mlat)
+    has_inline = pc.and_(pc.is_valid(ilat), pc.invert(has_meta))
+
+    lat = pc.cast(pc.if_else(has_meta, mlat, ilat), pa.float64())
+    lon = pc.cast(pc.if_else(has_meta, mlon, ilon), pa.float64())
+    kind = pc.if_else(has_meta, pa.scalar("meta"),
+                      pc.if_else(has_inline, pa.scalar("inline"),
+                                 pa.scalar("none")))
+    name = pc.fill_null(
+        pc.if_else(pc.and_(has_meta, pc.is_valid(nm)), nm, title), "")
+    return {"lat": lat, "lon": lon, "name": name, "geo_kind": kind}
+
+
+def validate_coords_arrow(lat, lon):
+    """Arrow-native :func:`validate_coords` (False where null)."""
+    import pyarrow.compute as pc
+
+    ok_lat = pc.and_(pc.greater_equal(lat, -90.0), pc.less_equal(lat, 90.0))
+    ok_lon = pc.and_(pc.greater_equal(lon, -180.0),
+                     pc.less_equal(lon, 180.0))
+    return pc.fill_null(pc.and_(ok_lat, ok_lon), False)

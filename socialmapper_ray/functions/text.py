@@ -55,6 +55,36 @@ def extract_main_text(html: pd.Series) -> pd.Series:
     return out
 
 
+_MAIN_RE_ARROW = r"(?s)<main>(?P<m>.*?)</main>"
+
+
+def decode_html_arrow(html):
+    """binary/string html column -> Arrow string array (zero-copy when
+    already string; utf-8-validated cast when binary)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = html.type if hasattr(html, "type") else html.chunk(0).type
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pc.cast(html, pa.string())
+    return html
+
+
+def extract_main_text_arrow(html):
+    """Arrow-native :func:`extract_main_text` — one RE2 pass via
+    ``pc.extract_regex``, literal entity unescapes via
+    ``pc.replace_substring``. No pandas conversion anywhere; values
+    byte-identical to the pandas kernel (pytest-equal)."""
+    import pyarrow.compute as pc
+
+    s = decode_html_arrow(html)
+    out = pc.fill_null(pc.struct_field(
+        pc.extract_regex(s, _MAIN_RE_ARROW), "m"), "")
+    for ent, ch in _UNESCAPES:
+        out = pc.replace_substring(out, pattern=ent, replacement=ch)
+    return out
+
+
 def token_count(text: pd.Series) -> pd.Series:
     """Whitespace token count; matches DuckDB
     ``len(regexp_split_to_array(trim(text), '\\s+'))`` for non-empty text."""

@@ -99,17 +99,16 @@ class PolygonSet:
     __slots__ = ("verts", "nv", "bbox")
 
     def __init__(self, polys: list[np.ndarray]):
+        polys = [np.asarray(p, dtype=np.float64) for p in polys]
+        # drop an explicit closing vertex; edges close implicitly
+        polys = [p[:-1] if len(p) > 1 and np.array_equal(p[0], p[-1]) else p
+                 for p in polys]
         n = len(polys)
         nv = np.asarray([len(p) for p in polys], dtype=np.int64)
         max_v = int(nv.max()) if n else 0
         verts = np.zeros((n, max_v, 2), dtype=np.float64)
         bbox = np.zeros((n, 4), dtype=np.float64)
         for k, p in enumerate(polys):
-            p = np.asarray(p, dtype=np.float64)
-            # drop an explicit closing vertex; edges close implicitly
-            if len(p) > 1 and np.array_equal(p[0], p[-1]):
-                p = p[:-1]
-                nv[k] = len(p)
             verts[k, : len(p)] = p
             verts[k, len(p):] = p[-1]
             bbox[k] = (p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max())
@@ -120,6 +119,109 @@ class PolygonSet:
     @classmethod
     def from_wkb(cls, blobs) -> "PolygonSet":
         return cls([wkb_decode(b)[1] for b in blobs])
+
+    @classmethod
+    def from_flat(cls, pts: np.ndarray, nv: np.ndarray) -> "PolygonSet":
+        """Build from a flat (total_pts, 2) vertex array + per-polygon
+        counts WITHOUT the per-polygon Python loop of ``__init__`` —
+        everything is numpy gather/scatter/reduceat, so a 1e6-zone
+        index builds in milliseconds of vectorized work.
+        Semantics identical to ``__init__`` (pytest-equal): explicit
+        closing vertices drop, padding repeats the last vertex."""
+        self = cls.__new__(cls)
+        nv = np.asarray(nv, dtype=np.int64)
+        n = len(nv)
+        if n == 0 or nv.sum() == 0:
+            self.verts = np.zeros((n, 0, 2), dtype=np.float64)
+            self.nv = nv.copy()
+            self.bbox = np.zeros((n, 4), dtype=np.float64)
+            return self
+        if (nv <= 0).any():
+            raise ValueError("from_flat: empty polygon in batch")
+        pts = np.ascontiguousarray(pts, dtype=np.float64)
+        ends = np.cumsum(nv)
+        starts = ends - nv
+        # drop explicit closing vertices (ring closes implicitly)
+        closed = (nv > 1) & (pts[starts] == pts[ends - 1]).all(axis=1)
+        nv2 = nv - closed
+        within = np.arange(len(pts), dtype=np.int64) - np.repeat(starts, nv)
+        keep = within < np.repeat(nv2, nv)
+        pts2 = pts[keep]
+        ends2 = np.cumsum(nv2)
+        starts2 = ends2 - nv2
+        max_v = int(nv2.max())
+        # padding = each polygon's LAST vertex, broadcast across the row
+        last = pts2[ends2 - 1]
+        verts = np.broadcast_to(last[:, None, :], (n, max_v, 2)).copy()
+        poly_idx = np.repeat(np.arange(n, dtype=np.int64), nv2)
+        within2 = within[keep]
+        verts[poly_idx, within2] = pts2
+        bbox = np.empty((n, 4), dtype=np.float64)
+        bbox[:, 0:2] = np.minimum.reduceat(pts2, starts2, axis=0)
+        bbox[:, 2:4] = np.maximum.reduceat(pts2, starts2, axis=0)
+        self.verts = verts
+        self.nv = nv2
+        self.bbox = bbox
+        return self
+
+    @classmethod
+    def from_wkb_arrow(cls, arr) -> "PolygonSet":
+        """Vectorized decode of an Arrow binary column of single-ring
+        polygon WKB blobs — zero per-row Python (the driver-side index
+        build for 1e6-zone tables must not loop rows). Reads the
+        offsets/data buffers directly: header fields gather as uint8
+        columns, coordinate bytes gather in one fancy-index, and the
+        flat vertex array feeds :meth:`from_flat`."""
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_large_binary(arr.type):
+            arr = arr.cast(pa.binary())
+        if arr.null_count:
+            raise ValueError("from_wkb_arrow: null geometry")
+        off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+        offsets = np.frombuffer(off_buf, dtype=np.int32)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(data_buf, dtype=np.uint8)
+        start = offsets[:-1]
+        if len(start) == 0:
+            return cls.from_flat(np.zeros((0, 2)), np.zeros(0, np.int64))
+
+        def u32(pos: np.ndarray) -> np.ndarray:
+            return (data[pos].astype(np.int64)
+                    | data[pos + 1].astype(np.int64) << 8
+                    | data[pos + 2].astype(np.int64) << 16
+                    | data[pos + 3].astype(np.int64) << 24)
+
+        if (data[start] != 1).any():
+            raise ValueError("only little-endian WKB supported")
+        if (u32(start + 1) != 3).any():
+            raise ValueError("from_wkb_arrow: non-polygon geometry")
+        nrings = u32(start + 5)
+        if (nrings < 1).any():
+            raise ValueError("from_wkb_arrow: empty polygon")
+        npts = u32(start + 9)
+        nbytes = npts * 16
+        if ((offsets[1:] - start) < 13 + nbytes).any():
+            raise ValueError("from_wkb_arrow: truncated blob")
+        # one gather for every coordinate byte of the batch
+        dst_end = np.cumsum(nbytes)
+        idx = (np.arange(int(dst_end[-1]), dtype=np.int64)
+               + np.repeat(start + 13 - (dst_end - nbytes), nbytes))
+        flat = data[idx].view("<f8")
+        return cls.from_flat(flat.reshape(-1, 2), npts)
+
+    def take(self, idxs) -> "PolygonSet":
+        """Vectorized row subset (keeps the parent's padding width —
+        padded columns repeat the last vertex, contributing nothing to
+        crossing counts, so behavior is identical)."""
+        self2 = PolygonSet.__new__(PolygonSet)
+        idxs = np.asarray(idxs, dtype=np.int64)
+        self2.verts = self.verts[idxs]
+        self2.nv = self.nv[idxs]
+        self2.bbox = self.bbox[idxs]
+        return self2
 
     def __len__(self) -> int:
         return len(self.nv)

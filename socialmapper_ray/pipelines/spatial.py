@@ -671,6 +671,60 @@ def zone_choropleth_sql(d: str) -> str:
     """
 
 
+def choropleth_raster_q(sf_dir: str, width: int = 256, height: int = 256,
+                        n_classes: int = 5):
+    """K6 closed fully: render the classed zones to an actual image
+    (reference visualization/chloropleth.py:122-196 + save:450-481 —
+    quantile classes through the default YlOrBr ramp, missing zones
+    lightgrey, PNG on disk) — here a from-scratch strip-parallel
+    numpy rasterization + RFC-2083 PNG encoder (stages/raster.py).
+
+    Returns the per-class pixel histogram — the checkable numeric
+    shadow of the image (class -1 = background, 0 = missing-data zone,
+    1..k = palette classes) plus the PNG byte size; the PNG itself is
+    written under /tmp/smray_artifacts. Deterministic end-to-end: same
+    input -> byte-identical PNG (golden-hash pytest).
+    """
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .. import geom
+    from ..stages import raster
+
+    d = synth.ensure_synth(sf_dir)
+    classed = zone_choropleth_q(sf_dir, n_classes=n_classes).to_pandas()
+    cls_by_zone = dict(zip(classed["zone_id"], classed["class"]))
+    tbl = pq.read_table(synth.table_path(sf_dir, "zones"),
+                        columns=["zone_id", "wkb"])
+    zone_ids = tbl["zone_id"].to_numpy(zero_copy_only=False)
+    polyset = geom.PolygonSet.from_wkb_arrow(tbl["wkb"])
+    classes = np.asarray([cls_by_zone.get(z, 0) for z in zone_ids],
+                         dtype=np.int64)
+    colors = raster.class_colors(classes)
+    img = raster.render_zones(polyset, colors, width=width, height=height)
+    png = raster.png_encode(img)
+    out_dir = "/tmp/smray_artifacts"
+    os.makedirs(out_dir, exist_ok=True)
+    tag = hashlib.sha256(d.encode()).hexdigest()[:10]
+    with open(os.path.join(out_dir, f"choropleth-{tag}.png"), "wb") as f:
+        f.write(png)
+
+    # pixel histogram keyed by the class each color encodes
+    flat = img.reshape(-1, 3)
+    color_for = {-1: raster.BACKGROUND_RGB, 0: raster.MISSING_RGB}
+    for k in range(1, n_classes + 1):
+        color_for[k] = raster.PALETTE_YLORBR[k - 1]
+    rows = []
+    for k, c in sorted(color_for.items()):
+        n = int((flat == c).all(axis=1).sum())
+        if n:
+            rows.append({"class": int(k), "n_pixels": n,
+                         "png_bytes": len(png)})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # ST2/K5: travel-band polygon artifact as a checkable vertex table
 # ---------------------------------------------------------------------------
@@ -843,6 +897,70 @@ def network_bands_sql(d: str) -> str:
            CAST(MIN(dist) // {band} AS BIGINT) AS band
     FROM sp GROUP BY center_id, node
     """
+
+
+def network_bands_multimode_q(sf_dir: str):
+    """Per-travel-mode network isochrone bands (closes reference M13:
+    isochrone/travel_modes.py:12-152 default + per-highway-class speeds
+    per mode). Edge travel times derive from (len_m, hw_class) via the
+    integer speed table stages/network.py SPEED_KMH; each mode runs the
+    same SSSP actor pool under its own horizon (MODE_CAP_S) and the
+    three band tables union with a mode column. Modes genuinely
+    diverge: a motorway edge is 13x faster by car than on foot, so the
+    same center yields different reachable sets per mode — each checked
+    exactly by an independent per-mode recursive-CTE SQL oracle.
+
+    All modes run through ONE actor pool over a mode-expanded source
+    stream (stages/network.py MultiModeBandRouter) — one pool per mode
+    unioned into a single DAG can reserve every CPU of a small session
+    and deadlock the upstream reads."""
+    from ..stages import network as net_mod
+
+    d = synth.ensure_synth(sf_dir)
+    sources = rd.read_parquet(synth.table_path(sf_dir, "road_sources"),
+                              override_num_blocks=8)
+    edges_ref = net_mod.edges_ref_allmodes_from_parquet(
+        synth.table_path(sf_dir, "road_edges"))
+    out = net_mod.network_bands_multimode(sources, edges_ref)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "mode": df["mode"],
+            "center_id": df["center_id"],
+            "node_id": df["node_id"].astype(np.int64),
+            "dist_s": df["dist_s"].astype(np.int64),
+            "band": df["band"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def network_bands_multimode_sql(d: str) -> str:
+    from ..stages import network as net_mod
+
+    band = net_mod.BAND_S
+    parts = []
+    for mode in sorted(net_mod.SPEED_KMH):
+        cap = net_mod.MODE_CAP_S[mode]
+        case = " ".join(
+            f"WHEN '{cls}' THEN {kmh}"
+            for cls, kmh in net_mod.SPEED_KMH[mode].items())
+        parts.append(f"""
+    (WITH RECURSIVE we AS (
+      SELECT src, dst,
+             GREATEST((len_m * 36) // ((CASE hw_class {case} END) * 10), 1)
+               AS w
+      FROM read_parquet('{d}/road_edges.parquet')
+    ), sp(center_id, node, dist) AS (
+      SELECT center_id, node_id, 0
+      FROM read_parquet('{d}/road_sources.parquet')
+      UNION
+      SELECT sp.center_id, we.dst, sp.dist + we.w
+      FROM sp JOIN we ON sp.node = we.src
+      WHERE sp.dist + we.w <= {cap}
+    )
+    SELECT '{mode}' AS mode, center_id, CAST(node AS BIGINT) AS node_id,
+           CAST(MIN(dist) AS BIGINT) AS dist_s,
+           CAST(MIN(dist) // {band} AS BIGINT) AS band
+    FROM sp GROUP BY center_id, node)""")
+    return " UNION ALL ".join(parts)
 
 
 def radius_join_q(sf_dir: str, radius_km: float = 200.0):

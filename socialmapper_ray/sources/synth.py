@@ -40,7 +40,7 @@ SYNTH_ROOT = "/tmp/smray_synth"
 
 #: bump when generator output changes shape/content — stale cached
 #: worlds under /tmp regenerate instead of poisoning oracle runs
-SYNTH_VERSION = "5"
+SYNTH_VERSION = "6"
 
 # World bbox (CONUS-ish, mid-latitudes)
 LAT_MIN, LAT_MAX = 25.0, 49.0
@@ -365,12 +365,23 @@ def build_road_network(centers: pa.Table):
     south_src = idx[row < g - 1]
     u = np.concatenate([east_src, south_src])
     v = np.concatenate([east_src + 1, south_src + g])
-    w = (_U(60) + splitmix64(np.arange(len(u), dtype=np.uint64)
-                             + _U(777000)) % _U(240)).astype(np.int64)
+    ordinal = np.arange(len(u), dtype=np.uint64)
+    w = (_U(60) + splitmix64(ordinal + _U(777000)) % _U(240)) \
+        .astype(np.int64)
+    # per-highway-class speed model inputs (reference M13,
+    # isochrone/travel_modes.py:12-152): a road class + physical length
+    # per undirected edge; mode-dependent travel times derive from these
+    # in stages/network.py (engine) and a CASE expression (SQL oracle)
+    hw_names = np.asarray(["motorway", "primary", "residential", "path"])
+    hw = hw_names[(splitmix64(ordinal + _U(888000)) % _U(4)).astype(int)]
+    len_m = (_U(2000) + splitmix64(ordinal + _U(999000)) % _U(3000)) \
+        .astype(np.int64)
     edges = pa.table({
         "src": pa.array(np.concatenate([u, v])),
         "dst": pa.array(np.concatenate([v, u])),
         "w_s": pa.array(np.concatenate([w, w])),
+        "hw_class": pa.array(np.concatenate([hw, hw])),
+        "len_m": pa.array(np.concatenate([len_m, len_m])),
     })
 
     clat = np.asarray(centers["lat"].to_numpy(zero_copy_only=False))

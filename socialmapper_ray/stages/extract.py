@@ -15,49 +15,47 @@ with a reduced block size so a batch of raw HTML fits worker heaps
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from ..functions import geoparse as gp
 from ..functions import text as tx
 
 
-def extract_batch(batch: pd.DataFrame) -> "pa.Table":
+def extract_batch(batch: pa.Table) -> pa.Table:
     """pages batch -> extracted batch; html is dropped on output.
 
     Output columns: url, warc_ts, lang, text, n_chars, lat, lon, name,
     geo_kind, valid. Pure + vectorized: per-url output is byte-identical
     at any parallelism (BASELINE.json invariant).
 
-    Returns a metadata-free Arrow table: pandas-converted blocks carry a
-    ``pandas`` schema-metadata dict that makes block schemas unhashable,
-    which forces Ray's batcher into its slow schema-unify path (and a
-    per-task warning) in every downstream actor-pool stage.
+    Arrow in, Arrow out — the whole hot path runs on RE2 / Arrow
+    kernels with ZERO pandas conversion (blocks enter zero-copy from
+    the object store and the pass-through columns are reused
+    zero-copy), and the emitted table is metadata-free so downstream
+    block schemas stay hashable.
     """
-    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    text = tx.extract_main_text(batch["html"])
-    geo = gp.geoparse(batch["html"])
-    valid = gp.validate_coords(geo["lat"], geo["lon"])
-    out = pd.DataFrame({
+    text = tx.extract_main_text_arrow(batch["html"])
+    geo = gp.geoparse_arrow(batch["html"])
+    valid = gp.validate_coords_arrow(geo["lat"], geo["lon"])
+    return pa.table({
         "url": batch["url"],
         "warc_ts": batch["warc_ts"],
         "lang": batch["lang"],
         "text": text,
-        "n_chars": text.str.len().astype(np.int64),
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
         "lat": geo["lat"],
         "lon": geo["lon"],
         "name": geo["name"],
         "geo_kind": geo["geo_kind"],
         "valid": valid,
     })
-    return pa.Table.from_pandas(out, preserve_index=False) \
-        .replace_schema_metadata(None)
 
 
 def extract_pois(pages_ds, batch_size: int = 2048):
     """pages Dataset -> extracted Dataset (html dropped inside the task)."""
-    return pages_ds.map_batches(extract_batch, batch_format="pandas",
+    return pages_ds.map_batches(extract_batch, batch_format="pyarrow",
                                 batch_size=batch_size)
 
 

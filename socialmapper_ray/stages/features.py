@@ -5,41 +5,46 @@ signatures (MinHash bands for near-dup, SimHash, rolling fingerprint)
 and quality scores, computed in one pass so the corpus is read once.
 Stateless ``map_batches`` (pure functions of text), slim output (the
 signatures, not the shingles).
+
+Arrow in, Arrow out: pass-through columns are reused zero-copy; only
+the text column materialises as python strings (the signature kernels
+hash python tokens regardless), wrapped once in a pandas Series for the
+C-level string kernels. No whole-table pandas round-trip.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..functions import text as tx
 from . import dedup
 
 
-def text_features_batch(df: pd.DataFrame,
-                        text_col: str = "text") -> pd.DataFrame:
-    texts = df[text_col]
+def text_features_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = tbl[text_col].to_pylist()
+    s = pd.Series(texts, dtype=object)
     sigs = dedup.minhash_signatures_batch(texts)
     rows_per_band = dedup.NUM_PERM // dedup.LSH_BANDS
     # first LSH band hash as a compact near-dup blocking key
     seg = sigs[:, :rows_per_band]
-    acc = np.full(len(df), np.uint64(1469598103934665603), dtype=np.uint64)
+    acc = np.full(len(texts), np.uint64(1469598103934665603), dtype=np.uint64)
     for r in range(rows_per_band):
         acc = (acc ^ seg[:, r]) * np.uint64(1099511628211)
-    out = df.copy()
-    out["minhash_band0"] = acc
-    out["simhash"] = dedup.simhash64(texts)
-    out["fingerprint"] = tx.doc_fingerprint(texts)
-    out["token_count"] = tx.token_count(texts)
-    out["stop_count"] = tx.stopword_count(texts)
-    out["alpha_ratio_ppm"] = tx.alpha_ratio_scaled(texts)
-    import pyarrow as pa
-
-    # emit a metadata-free Arrow block (see stages/extract.py rationale)
-    return pa.Table.from_pandas(out, preserve_index=False) \
-        .replace_schema_metadata(None)
+    cols = {name: tbl[name] for name in tbl.column_names}
+    cols["minhash_band0"] = pa.array(acc, pa.uint64())
+    cols["simhash"] = pa.array(dedup.simhash64(s).astype(np.uint64),
+                               pa.uint64())
+    cols["fingerprint"] = pa.array(
+        tx.doc_fingerprint(s).to_numpy(dtype=np.uint64), pa.uint64())
+    cols["token_count"] = pa.array(tx.token_count(s).to_numpy(), pa.int64())
+    cols["stop_count"] = pa.array(tx.stopword_count(s).to_numpy(), pa.int64())
+    cols["alpha_ratio_ppm"] = pa.array(tx.alpha_ratio_scaled(s).to_numpy(),
+                                       pa.int64())
+    return pa.table(cols)
 
 
 def with_text_features(ds, batch_size: int = 1024):
-    return ds.map_batches(text_features_batch, batch_format="pandas",
+    return ds.map_batches(text_features_batch, batch_format="pyarrow",
                           batch_size=batch_size)

@@ -30,16 +30,70 @@ import ray
 BAND_S = 300  # band width: 5 simulated minutes
 MAX_DIST_S = 900  # isochrone horizon (3 bands)
 
+# Per-highway-class speed model (reference M13,
+# isochrone/travel_modes.py:12-152: default + per-highway-type speeds
+# per travel mode). Integer km/h so the derived edge weights are exact
+# integers in both the engine and the SQL oracle:
+#   w_s = max(1, (len_m * 36) // (speed_kmh * 10))
+# (= len_m / (speed_kmh / 3.6) floored — same single integer division
+# on both sides).
+SPEED_KMH = {
+    "drive": {"motorway": 110, "primary": 80, "residential": 40, "path": 10},
+    "bike": {"motorway": 24, "primary": 20, "residential": 15, "path": 12},
+    "walk": {"motorway": 4, "primary": 5, "residential": 5, "path": 6},
+}
+#: per-mode isochrone horizon (slow modes need a wider time window to
+#: reach anything; band width stays BAND_S for every mode)
+MODE_CAP_S = {"drive": 900, "bike": 1800, "walk": 3600}
 
-def edges_ref_from_parquet(path: str):
+
+def mode_edge_weights(len_m: np.ndarray, hw_class, mode: str) -> np.ndarray:
+    """Mode-dependent integer edge travel times from physical length +
+    highway class. Vectorized: classes factorize once, speeds gather."""
+    codes, uniq = pd.factorize(np.asarray(hw_class), sort=False)
+    table = SPEED_KMH[mode]
+    speed = np.asarray([table[c] for c in uniq], dtype=np.int64)[codes]
+    w = (np.asarray(len_m, dtype=np.int64) * 36) // (speed * 10)
+    return np.maximum(w, 1)
+
+
+def edges_ref_from_parquet(path: str, mode: str | None = None):
     """Load the edge list once on the driver and pin it in the object
-    store (src, dst, w_s int64 arrays)."""
+    store (src, dst, w int64 arrays). ``mode=None`` uses the static
+    per-edge ``w_s``; a travel mode derives weights from (len_m,
+    hw_class) via :data:`SPEED_KMH`."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["src", "dst", "w_s"])
+    if mode is None:
+        t = pq.read_table(path, columns=["src", "dst", "w_s"])
+        w = t["w_s"].to_numpy().astype(np.int64)
+    else:
+        t = pq.read_table(path, columns=["src", "dst", "hw_class", "len_m"])
+        w = mode_edge_weights(t["len_m"].to_numpy(),
+                              t["hw_class"].to_pylist(), mode)
     return ray.put((t["src"].to_numpy().astype(np.int64),
-                    t["dst"].to_numpy().astype(np.int64),
-                    t["w_s"].to_numpy().astype(np.int64)))
+                    t["dst"].to_numpy().astype(np.int64), w))
+
+
+def edges_ref_allmodes_from_parquet(path: str):
+    """Load the edge list once and derive EVERY mode's weight vector
+    into a single broadcast object ``(src, dst, {mode: w})``.
+
+    One ``ray.put`` for the whole multi-mode job: the multimode band
+    query runs as ONE actor pool over a mode-expanded source stream
+    (each actor picks the weight vector by the row's mode), not as one
+    pool per mode. Three fixed-size pools in one union DAG can reserve
+    every CPU of a small session and starve the upstream read tasks —
+    a deadlock, not a slowdown (observed at num_cpus=8: 8 actors, 0
+    CPUs left, reads backpressured forever)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["src", "dst", "hw_class", "len_m"])
+    len_m = t["len_m"].to_numpy()
+    hw = t["hw_class"].to_pylist()
+    w_by_mode = {m: mode_edge_weights(len_m, hw, m) for m in SPEED_KMH}
+    return ray.put((t["src"].to_numpy().astype(np.int64),
+                    t["dst"].to_numpy().astype(np.int64), w_by_mode))
 
 
 def sssp_dists(src_arr: np.ndarray, dst_arr: np.ndarray, w_arr: np.ndarray,
@@ -94,6 +148,64 @@ class NetworkBandRouter:
                 "dist_s": pd.Series(dtype=np.int64),
                 "band": pd.Series(dtype=np.int64)})
         return pd.concat(outs, ignore_index=True)
+
+
+class MultiModeBandRouter:
+    """Single actor pool for every travel mode: rows are
+    (mode, center_id, node_id); the actor picks the mode's weight
+    vector + horizon per source. All modes share one broadcast edge
+    object and one pool — the DAG stays one read -> one pool, so
+    pool sizing composes the same as every other stage."""
+
+    def __init__(self, edges_ref):
+        self.src, self.dst, self.w_by_mode = ray.get(edges_ref)
+        self.n_nodes = int(max(self.src.max(), self.dst.max())) + 1
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        big = np.iinfo(np.int64).max // 2
+        for mode, cid, node in zip(df["mode"], df["center_id"],
+                                   df["node_id"]):
+            cap = MODE_CAP_S[mode]
+            n_nodes = max(self.n_nodes, int(node) + 1)
+            dist = sssp_dists(self.src, self.dst, self.w_by_mode[mode],
+                              n_nodes, int(node), cap)
+            reach = np.flatnonzero(dist < big)
+            outs.append(pd.DataFrame({
+                "mode": np.repeat(mode, len(reach)),
+                "center_id": np.repeat(cid, len(reach)),
+                "node_id": reach.astype(np.int64),
+                "dist_s": dist[reach],
+                "band": dist[reach] // BAND_S,
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "mode": pd.Series(dtype=object),
+                "center_id": pd.Series(dtype=object),
+                "node_id": pd.Series(dtype=np.int64),
+                "dist_s": pd.Series(dtype=np.int64),
+                "band": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+
+def network_bands_multimode(sources_ds, edges_ref, concurrency: int = 4):
+    """sources (center_id, node_id) -> per-(mode, node) band rows for
+    every mode in SPEED_KMH, via ONE mode-expanded actor pool."""
+    from ..util import clamp_concurrency
+
+    modes = sorted(SPEED_KMH)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat([df.assign(mode=m) for m in modes],
+                        ignore_index=True)
+        return out
+
+    return sources_ds.map_batches(
+        expand, batch_format="pandas").map_batches(
+        MultiModeBandRouter,
+        fn_constructor_args=(edges_ref,),
+        batch_format="pandas", batch_size=8,
+        concurrency=clamp_concurrency(concurrency, 1), num_cpus=1)
 
 
 def network_bands(sources_ds, edges_ref, cap: int = MAX_DIST_S,

@@ -41,8 +41,10 @@ def build_zone_index(zones_path: str, bin_deg: float = 0.5):
     Driver-side; one ``ray.put`` for the whole job (broadcast-once).
     """
     tbl = pq.read_table(zones_path, columns=["zone_id", "wkb"])
-    zone_ids = np.asarray(tbl["zone_id"].to_pylist())
-    polyset = geom.PolygonSet.from_wkb(tbl["wkb"].to_pylist())
+    zone_ids = tbl["zone_id"].to_numpy(zero_copy_only=False)
+    # vectorized Arrow-buffer WKB decode — no per-row Python even at
+    # 1e6-zone tables (geom.PolygonSet.from_wkb_arrow)
+    polyset = geom.PolygonSet.from_wkb_arrow(tbl["wkb"])
     index = geom.GridIndex(polyset, bin_deg=bin_deg)
     return ray.put((index, zone_ids))
 
@@ -111,8 +113,8 @@ def bucket_zones_by_cell(zones_path: str, part_res: int = 3,
     from .. import tiles
 
     tbl = pq.read_table(zones_path, columns=["zone_id", "wkb"])
-    zone_ids = np.asarray(tbl["zone_id"].to_pylist())
-    polyset = geom.PolygonSet.from_wkb(tbl["wkb"].to_pylist())
+    zone_ids = tbl["zone_id"].to_numpy(zero_copy_only=False)
+    polyset = geom.PolygonSet.from_wkb_arrow(tbl["wkb"])
     bb = polyset.bbox  # (lon_min, lat_min, lon_max, lat_max)
     buckets: dict[int, list[int]] = {}
     for cell in tiles.quad_cells_at_res(part_res):
@@ -125,8 +127,7 @@ def bucket_zones_by_cell(zones_path: str, part_res: int = 3,
             buckets[int(cell)] = hit.tolist()
     out = {}
     for cell, idxs in buckets.items():
-        sub = geom.PolygonSet(
-            [polyset.verts[i, : polyset.nv[i]] for i in idxs])
+        sub = polyset.take(idxs)
         out[cell] = (geom.GridIndex(sub, bin_deg=bin_deg), zone_ids[idxs])
     return out
 

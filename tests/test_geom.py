@@ -4,6 +4,7 @@ WKB roundtrip, hull/centroid/simplify sanity, haversine golden values."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from socialmapper_ray import geom
 
@@ -105,3 +106,73 @@ def test_simplify_reduces_vertices():
     assert 4 <= len(out) < 60
     out2 = geom.simplify_polygon(circle, 1e-9)
     assert len(out2) == len(circle)
+
+
+def test_from_wkb_arrow_matches_loop_decoder():
+    """The vectorized Arrow-buffer WKB decoder is exactly equal to the
+    per-blob loop decoder — including closing-vertex handling, padding,
+    bbox, 1-vertex degenerate rings, and sliced (offset != 0) arrays."""
+    import struct
+
+    import pyarrow as pa
+
+    polys = [
+        np.array([[0.0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]),  # closed
+        np.array([[2.0, 2], [3, 2], [2, 3]]),                  # open
+        RNG.uniform(-10, 10, (37, 2)),
+    ]
+    blobs = [geom.wkb_polygon(p) for p in polys]
+    # hand-built 1-vertex ring (wkb_polygon would auto-close it)
+    blobs.append(struct.pack("<BIII", 1, 3, 1, 1)
+                 + np.array([[5.0, 5.0]], "<f8").tobytes())
+    a = geom.PolygonSet.from_wkb(blobs)
+    b = geom.PolygonSet.from_wkb_arrow(pa.array(blobs, pa.binary()))
+    assert np.array_equal(a.verts, b.verts)
+    assert np.array_equal(a.nv, b.nv)
+    assert np.array_equal(a.bbox, b.bbox)
+    # sliced array: nonzero arr.offset must not shift the decode
+    sl = pa.array(blobs, pa.binary()).slice(1)
+    c = geom.PolygonSet.from_wkb_arrow(sl)
+    a1 = geom.PolygonSet.from_wkb(blobs[1:])
+    assert np.array_equal(a1.verts, c.verts)
+    # large_binary input path
+    d = geom.PolygonSet.from_wkb_arrow(pa.array(blobs, pa.large_binary()))
+    assert np.array_equal(a.verts, d.verts)
+    # empty input
+    e = geom.PolygonSet.from_wkb_arrow(pa.array([], pa.binary()))
+    assert len(e) == 0
+
+
+def test_from_wkb_arrow_rejects_garbage():
+    import struct
+
+    import pyarrow as pa
+
+    pt = geom.wkb_point(1.0, 2.0)
+    with pytest.raises(ValueError, match="non-polygon"):
+        geom.PolygonSet.from_wkb_arrow(pa.array([pt], pa.binary()))
+    trunc = struct.pack("<BIII", 1, 3, 1, 9) + b"\x00" * 16
+    with pytest.raises(ValueError, match="truncated"):
+        geom.PolygonSet.from_wkb_arrow(pa.array([trunc], pa.binary()))
+
+
+def test_polygonset_take_equals_rebuild():
+    polys = [RNG.uniform(-5, 5, (n, 2)) for n in (3, 8, 5, 12)]
+    ps = geom.PolygonSet(polys)
+    sub = ps.take([2, 0])
+    rebuilt = geom.PolygonSet([polys[2], polys[0]])
+    # padding width may differ; the live verts + bbox must agree
+    for row, src in enumerate((2, 0)):
+        nv = rebuilt.nv[row]
+        assert sub.nv[row] == nv
+        assert np.array_equal(sub.verts[row, :nv], rebuilt.verts[row, :nv])
+    assert np.array_equal(sub.bbox, rebuilt.bbox)
+    # PIP behavior identical despite wider padding
+    pts = RNG.uniform(-5, 5, (500, 2))
+    pair_pt = np.tile(np.arange(500), 2)
+    pair_poly = np.repeat(np.arange(2), 500)
+    m1 = geom.points_in_polygons(pts[:, 0], pts[:, 1], sub,
+                                 pair_pt, pair_poly)
+    m2 = geom.points_in_polygons(pts[:, 0], pts[:, 1], rebuilt,
+                                 pair_pt, pair_poly)
+    assert np.array_equal(m1, m2)

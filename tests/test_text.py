@@ -97,3 +97,30 @@ def test_fingerprint_batch_matches_scalar():
     want = np.asarray([tx.doc_fingerprint_scalar(t) for t in docs],
                       dtype=np.uint64)
     assert (got.to_numpy() == want).all()
+
+
+def test_arrow_extract_kernels_match_pandas(world):
+    """The Arrow hot-path kernels (extract_main_text_arrow /
+    geoparse_arrow / validate_coords_arrow) are byte-identical to the
+    pandas reference kernels over the full synthetic page world."""
+    import pyarrow as pa
+
+    _, pages, _ = world
+    arr = pa.chunked_array([pa.array(pages["html"].tolist())])
+
+    t_p = tx.extract_main_text(pages["html"])
+    t_a = tx.extract_main_text_arrow(arr).to_pandas()
+    assert t_p.tolist() == t_a.tolist()
+
+    g_p = gp.geoparse(pages["html"])
+    g_a = gp.geoparse_arrow(arr)
+    assert g_p["lat"].fillna(-999).tolist() == \
+        g_a["lat"].to_pandas().fillna(-999).tolist()
+    assert g_p["lon"].fillna(-999).tolist() == \
+        g_a["lon"].to_pandas().fillna(-999).tolist()
+    assert g_p["name"].tolist() == g_a["name"].to_pandas().tolist()
+    assert g_p["geo_kind"].tolist() == g_a["geo_kind"].to_pandas().tolist()
+
+    v_p = gp.validate_coords(g_p["lat"], g_p["lon"])
+    v_a = gp.validate_coords_arrow(g_a["lat"], g_a["lon"]).to_pandas()
+    assert v_p.tolist() == v_a.tolist()
