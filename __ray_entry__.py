@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_pois": sp.geocode_pois_q,
         "zone_choropleth": sp.zone_choropleth_q,
         "band_polygons": sp.band_polygons_q,
-        "network_bands": sp.network_bands_q,
+        "network_bands_multimode": sp.network_bands_multimode_q,
         "radius_join": sp.radius_join_q,
         # --- driver window: relational wide ops -------------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": tp.embedding_neardup_q,
         # --- tail (past the driver cap; local gate + pytest) ------------
         "pip_join_partitioned": sp.pip_join_partitioned_q,
+        "network_bands": sp.network_bands_q,
+        "choropleth_raster": sp.choropleth_raster_q,
         "knn_nearest_pruned": sp.knn_pruned_q,
         "knn_topk": sp.knn_topk_q,
         "zones_union": sp.zones_union_q,
@@ -168,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_choropleth": sp.zone_choropleth_sql(d),
         "band_polygons": sp.band_polygons_sql(d),
         "network_bands": sp.network_bands_sql(d),
+        "network_bands_multimode": sp.network_bands_multimode_sql(d),
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "q6_forecast_revenue": rel.Q6_SQL,

@@ -597,13 +597,22 @@ def decontaminate_q(sf_dir: str, n_bench: int = 5,
     derived from the first ``n_bench`` docs, so the oracle can derive
     the identical snippets in SQL).
 
-    Classic broadcast-small-side scan: the snippet list ships once;
-    each batch runs K vectorized literal-substring searches (for large
-    K the scale path is an Aho-Corasick automaton per actor — same
-    topology, different kernel).
+    Broadcast-small-side topology with a SINGLE-PASS kernel: the
+    snippet list ships once via ``ray.put``; each actor builds a
+    :class:`functions.match.SnippetMatcher` (the Aho-Corasick-class
+    automaton analogue — vectorized Rabin-Karp fingerprint tables) once
+    in ``__init__``, then every batch is ONE rolling-hash pass per
+    distinct snippet length, O(corpus) independent of K. Output pairs
+    are exact (hash hits verify by byte comparison), identical to the
+    per-snippet scan and to the SQL position oracle.
     """
     import pyarrow.compute as pc_
     import pyarrow.parquet as pq_
+
+    import ray
+
+    from ..functions.match import SnippetMatcher
+    from ..util import clamp_concurrency
 
     bench = pq_.read_table(_p(sf_dir, "documents"),
                            columns=["doc_id", "text"])
@@ -611,26 +620,24 @@ def decontaminate_q(sf_dir: str, n_bench: int = 5,
     snips = [(int(i), str(t)[snip_start:snip_start + snip_len])
              for i, t in zip(bench["doc_id"].to_pylist(),
                              bench["text"].to_pylist())]
+    snips_ref = ray.put(snips)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_snip = [], []
-        for sid, s in snips:
-            if not s:
-                continue
-            m = df["text"].str.contains(s, regex=False)
-            hits = df.loc[m, "doc_id"].to_numpy(np.int64)
-            out_doc.append(hits)
-            out_snip.append(np.full(len(hits), sid, dtype=np.int64))
-        if not out_doc:
-            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                                 "snip_id": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({
-            "doc_id": np.concatenate(out_doc),
-            "snip_id": np.concatenate(out_snip)})
+    class Decontaminator:
+        def __init__(self, ref):
+            self.matcher = SnippetMatcher(ray.get(ref))
 
-    return ds.map_batches(scan, batch_format="pandas")
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows, sids = self.matcher.find_in_batch(df["text"].tolist())
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64)[rows],
+                "snip_id": sids})
+
+    return ds.map_batches(
+        Decontaminator, fn_constructor_args=(snips_ref,),
+        batch_format="pandas",
+        concurrency=clamp_concurrency(4, 0.5), num_cpus=0.5)
 
 
 DECONTAMINATE_SQL = """

@@ -1,0 +1,205 @@
+"""Headless choropleth rasterization (reference K6 closed fully).
+
+Reference semantics: visualization/chloropleth.py:122-196 classes a
+zone value column (census error codes -> missing), maps classes through
+a sequential palette (config.py:117 default YlOrBr), paints missing
+zones a neutral grey, and writes the figure to PNG
+(chloropleth.py:450-481). The reference drives geopandas + matplotlib;
+neither exists here, so the raster is computed from scratch:
+
+- **class -> color** via an embedded 5-step YlOrBr ramp (ColorBrewer
+  values — public domain Apache-licensed palette data);
+- **zone fill** by point-in-polygon of every pixel CENTER against the
+  zone polygons, reusing the engine's own broadcast
+  :class:`geom.GridIndex` + crossing-number kernel — the same machinery
+  the PIP join trusts, so the raster inherits its tested geometry;
+- **PNG bytes** from a from-scratch encoder (zlib + crc32 only; the
+  PNG format is public: RFC 2083) — no matplotlib/PIL.
+
+Ray-Data-first: the image renders as horizontal STRIPS fanned out
+through ``map_batches`` over a strip-index Dataset, with the zone
+index broadcast once via ``ray.put`` (exactly the PIP-join topology).
+A continent-scale raster (1e9 pixels) is just more strips; each task
+touches only ``width x strip_h`` pixels and ships back run-length
+countable RGB rows. The driver assembles strips in order — the
+materialized artifact is the IMAGE (bounded by the requested
+resolution), never the zone table or the corpus.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from .. import geom
+
+#: 5-class YlOrBr sequential ramp (ColorBrewer, public), light -> dark —
+#: the reference's default color_scheme (visualization/config.py:117).
+PALETTE_YLORBR = np.asarray([
+    [255, 255, 212],
+    [254, 217, 142],
+    [254, 153, 41],
+    [217, 95, 14],
+    [153, 52, 4],
+], dtype=np.uint8)
+
+#: reference missing_kwds color: lightgrey (chloropleth.py:177)
+MISSING_RGB = np.asarray([211, 211, 211], dtype=np.uint8)
+#: background (outside every zone): white
+BACKGROUND_RGB = np.asarray([255, 255, 255], dtype=np.uint8)
+
+
+def render_strip(index: geom.GridIndex, colors: np.ndarray,
+                 row0: int, nrows: int, width: int, height: int,
+                 bbox: tuple[float, float, float, float]) -> np.ndarray:
+    """Render raster rows [row0, row0+nrows) -> (nrows, width, 3) uint8.
+
+    bbox = (lon_min, lat_min, lon_max, lat_max); row 0 is the NORTH
+    edge (image convention). A pixel takes the color of the FIRST zone
+    (lowest polyset row) containing its center — deterministic under
+    overlap; pixels in no zone stay background.
+    """
+    lon_min, lat_min, lon_max, lat_max = bbox
+    dx = (lon_max - lon_min) / width
+    dy = (lat_max - lat_min) / height
+    cols = lon_min + (np.arange(width, dtype=np.float64) + 0.5) * dx
+    rows = lat_max - (np.arange(row0, row0 + nrows, dtype=np.float64)
+                      + 0.5) * dy
+    lon = np.tile(cols, nrows)
+    lat = np.repeat(rows, width)
+    pt, poly = index.query(lon, lat)
+    rgb = np.broadcast_to(BACKGROUND_RGB, (nrows * width, 3)).copy()
+    if len(pt):
+        # first zone wins: keep the lowest poly index per pixel
+        order = np.lexsort((poly, pt))
+        pt, poly = pt[order], poly[order]
+        first = np.concatenate([[True], pt[1:] != pt[:-1]])
+        rgb[pt[first]] = colors[poly[first]]
+    return rgb.reshape(nrows, width, 3)
+
+
+class StripRenderer:
+    """Actor-pool stage: one call renders one strip row-range. The zone
+    index + per-zone colors are fetched from the object store once per
+    actor (broadcast-once, the PIP-join pattern)."""
+
+    def __init__(self, index_ref, width: int, height: int,
+                 bbox: tuple[float, float, float, float]):
+        self.index, self.colors = ray.get(index_ref)
+        self.width, self.height, self.bbox = width, height, bbox
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for row0, nrows in zip(batch["row0"].to_numpy(),
+                               batch["nrows"].to_numpy()):
+            rgb = render_strip(self.index, self.colors, int(row0),
+                               int(nrows), self.width, self.height,
+                               self.bbox)
+            out_rows.append({"row0": int(row0), "nrows": int(nrows),
+                             "rgb": rgb.tobytes()})
+        return pd.DataFrame(out_rows)
+
+
+def render_zones(polyset: geom.PolygonSet, zone_rgb: np.ndarray,
+                 width: int = 512, height: int = 512,
+                 bbox: tuple[float, float, float, float] | None = None,
+                 strip_h: int = 64, bin_deg: float = 0.5,
+                 concurrency: int = 4) -> np.ndarray:
+    """Distributed strip render -> full (height, width, 3) uint8 image.
+
+    zone_rgb: (n_zones, 3) uint8 fill colors (class palette applied by
+    the caller so missing/valid coloring stays a caller policy).
+    """
+    import ray.data as rd
+
+    from ..util import clamp_concurrency
+
+    if bbox is None:
+        bb = polyset.bbox
+        bbox = (float(bb[:, 0].min()), float(bb[:, 1].min()),
+                float(bb[:, 2].max()), float(bb[:, 3].max()))
+    index = geom.GridIndex(polyset, bin_deg=bin_deg)
+    ref = ray.put((index, np.ascontiguousarray(zone_rgb, dtype=np.uint8)))
+    row0s = np.arange(0, height, strip_h, dtype=np.int64)
+    strips = rd.from_pandas(pd.DataFrame({
+        "row0": row0s,
+        "nrows": np.minimum(strip_h, height - row0s),
+    })).repartition(min(len(row0s), max(concurrency * 2, 1)))
+    got = strips.map_batches(
+        StripRenderer,
+        fn_constructor_args=(ref, width, height, bbox),
+        batch_format="pandas", batch_size=4,
+        concurrency=clamp_concurrency(concurrency, 0.5), num_cpus=0.5,
+    ).to_pandas().sort_values("row0")
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    for _, r in got.iterrows():
+        rgb = np.frombuffer(r["rgb"], dtype=np.uint8) \
+            .reshape(int(r["nrows"]), width, 3)
+        img[int(r["row0"]): int(r["row0"]) + int(r["nrows"])] = rgb
+    return img
+
+
+# ---------------------------------------------------------------------------
+# PNG encoder (RFC 2083; zlib + crc32, filter type 0)
+# ---------------------------------------------------------------------------
+
+def png_encode(rgb: np.ndarray, compress_level: int = 6) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes. Deterministic for fixed input."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("png_encode expects (h, w, 3) uint8")
+    h, w = rgb.shape[:2]
+    # per-row filter byte 0 (None), then raw RGB
+    rows = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    rows[:, 1:] = rgb.reshape(h, -1)
+    raw = zlib.compress(rows.tobytes(), compress_level)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    """Minimal decoder for this module's own output (filter-0 RGB8) —
+    the round-trip oracle for tests; rejects anything else."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4: pos + 8]
+        data = buf[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad crc in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", data, 0)
+            if (depth, ctype) != (8, 2):
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    rows = np.frombuffer(zlib.decompress(idat), dtype=np.uint8) \
+        .reshape(h, w * 3 + 1)
+    if (rows[:, 0] != 0).any():
+        raise ValueError("only filter 0 supported")
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
+def class_colors(classes: np.ndarray,
+                 palette: np.ndarray = PALETTE_YLORBR) -> np.ndarray:
+    """Class labels (1..k; 0 or negative = missing) -> (n, 3) uint8."""
+    c = np.asarray(classes, dtype=np.int64)
+    out = np.broadcast_to(MISSING_RGB, (len(c), 3)).copy()
+    valid = (c >= 1) & (c <= len(palette))
+    out[valid] = palette[c[valid] - 1]
+    return out
