@@ -126,6 +126,29 @@ def run_bench() -> dict:
 
     n_joins = timed("pip_join", pip_only)
 
+    # the partitioned (100 TB scale-path) join vs the broadcast join at
+    # 8x corpus — the partition-pruned variant is the one that keeps
+    # per-actor index memory flat when zones outgrow a single broadcast,
+    # so its throughput is benched where the probe side actually
+    # dominates (the 1x corpus measures mostly startup)
+    big_rep = REPLICATE * 8
+    synth.ensure_synth(SF_DIR, big_rep)
+
+    def pip_8x(partitioned: bool):
+        pages = fl.read_pages(SF_DIR, big_rep)
+        pois = tile.tile_points(
+            extract.extract_pois(pages).filter(expr="valid == True"))
+        if partitioned:
+            return pip_join.pip_join_partitioned(
+                pois, synth.table_path(SF_DIR, "zones"),
+                keep_cols=("url",), concurrency=conc).count()
+        idx = pip_join.build_zone_index(synth.table_path(SF_DIR, "zones"))
+        return pip_join.pip_join(pois, idx, keep_cols=("url",),
+                                 concurrency=conc).count()
+
+    n_joins_8x = timed("pip_join_8x", lambda: pip_8x(False))
+    timed("pip_join_partitioned_8x", lambda: pip_8x(True))
+
     timed("knn_nearest", lambda: sp.knn_q(SF_DIR).count())
     timed("band_assign", lambda: sp.bands_q(SF_DIR).count())
     timed("q1_pricing_summary",
@@ -153,6 +176,12 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_pages / timings["flagship"], 1),
         "pip_joins_per_sec": round(n_joins / timings["pip_join"], 1)
         if n_joins else 0.0,
+        "n_pip_joins_8x": n_joins_8x,
+        "pip_joins_per_sec_8x": round(
+            n_joins_8x / timings["pip_join_8x"], 1) if n_joins_8x else 0.0,
+        "pip_joins_per_sec_partitioned_8x": round(
+            n_joins_8x / timings["pip_join_partitioned_8x"], 1)
+        if n_joins_8x else 0.0,
     }
     ray.shutdown()
     return result
