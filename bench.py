@@ -71,7 +71,10 @@ def run_bench() -> dict:
         d = synth.ensure_synth(SF_DIR, SCALING_REPLICATE)
         n_pages = rd.read_parquet(os.path.join(d, "pages.parquet")).count()
         best = None
-        for _ in range(2):
+        # best-of-3: this box's run-to-run drift (±15-20%, up to ~2x
+        # right after heavy load) exceeds the 4->16 cpu effect being
+        # measured; two samples still let one bad draw set the level
+        for _ in range(3):
             t0 = time.perf_counter()
             fl.full_corpus(SF_DIR, concurrency=conc,
                            replicate=SCALING_REPLICATE).count()
@@ -197,6 +200,11 @@ def run_scaling() -> dict:
                    GRAFT_SCALING_ONLY="1")
         out = subprocess.run([sys.executable, here], env=env,
                              capture_output=True, text=True, check=True)
+        # box load from a 32-thread run takes ~a minute to decay; without
+        # a settle the NEXT level inherits it (measured: the hi level
+        # read 30.9 s mid-sequence vs 24.6 s on a cool box — a 0.17
+        # swing in reported efficiency from scheduling noise alone)
+        time.sleep(60)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     # N vs 4N below the SMT knee: this box has 16 physical cores /

@@ -44,6 +44,8 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
                      ("zone_choropleth", sp.zone_choropleth_sql),
                      ("band_polygons", sp.band_polygons_sql),
                      ("network_bands", sp.network_bands_sql),
+                     ("network_bands_multimode",
+                      sp.network_bands_multimode_sql),
                      ("radius_join", sp.radius_join_sql),
                      ("geocode_pois", sp.geocode_pois_sql)):
         oracles[name] = fn(d)
