@@ -131,6 +131,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_partitioned": tp.ann_topk_ivf_partitioned_q,
         "sample_docs": tp.sample_docs_q,
         "lang_id": tp.lang_id_q,
+        "dup_shingles": tp.dup_shingles_q,
+        "top_tokens": tp.top_tokens_q,
+        "tfidf_top_terms": tp.tfidf_top_terms_q,
+        "embedding_kmeans": tp.embedding_kmeans_q,
+        "semantic_dedup": tp.semantic_dedup_q,
     }
 
 
@@ -208,4 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": tp.domain_stats_sql(d),
         "ann_topk": tp.ANN_TOPK_SQL,
         "embedding_neardup": tp.EMBEDDING_NEARDUP_SQL,
+        "dup_shingles": tp.DUP_SHINGLES_SQL,
+        "top_tokens": tp.TOP_TOKENS_SQL,
+        "tfidf_top_terms": tp.TFIDF_TOP_TERMS_SQL,
     }

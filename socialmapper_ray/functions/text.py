@@ -131,6 +131,21 @@ def predict_lang(text: pd.Series) -> pd.Series:
     return best.where(sc.max(axis=1) > 0, "und")
 
 
+def doc_shingles(text: str, k: int) -> list[str]:
+    """Distinct word-k-shingles of one doc, first-occurrence order
+    (deterministic — no set iteration). [] when the doc has < k tokens.
+
+    Matches DuckDB ``SELECT DISTINCT array_to_string(ts[i:i+k-1], ' ')``
+    over ``regexp_split_to_array(trim(text), '\\s+')`` exactly.
+    """
+    t = text.strip() if isinstance(text, str) else ""
+    ws = _WS_RE.split(t) if t else []
+    if len(ws) < k:
+        return []
+    return list(dict.fromkeys(
+        " ".join(ws[i: i + k]) for i in range(len(ws) - k + 1)))
+
+
 def crc32_tokens(words: list[str]) -> np.ndarray:
     return np.asarray([zlib.crc32(w.encode("utf-8")) for w in words],
                       dtype=np.uint64)

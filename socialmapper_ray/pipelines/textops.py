@@ -820,3 +820,272 @@ def domain_stats_sql(d: str) -> str:
     FROM read_parquet('{d}/pages.parquet/*.parquet')
     GROUP BY domain
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-shingle coverage (dup-span analysis, RefinedWeb/C4-style)
+# ---------------------------------------------------------------------------
+
+def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
+    """Per-doc duplicate-k-shingle coverage: what fraction of each doc's
+    distinct word-5-shingles also appear in ANOTHER document.
+
+    The corpus-level dup-span statistic behind C4/RefinedWeb-style
+    "remove documents made of boilerplate" filters (Penedo et al. 2023,
+    arXiv:2306.01116 §4; Lee et al. 2022, arXiv:2107.06499 use exact
+    substring spans — word shingles are the bounded-memory analogue).
+
+    Plan: explode (doc_id, shingle) distinct-per-doc -> hash-bucket the
+    shingle key (ONE exchange; per-bucket kernel is a single vectorized
+    transform('size'), never per-shingle Python) -> per-doc sum (second
+    keyed exchange) -> ppm finalize. Shingle strings ride the first
+    exchange so the SQL oracle is exact; at 100 TB the same plan runs on
+    the 64-bit shingle hash instead (collision odds ~n^2/2^65 — swap
+    the key column, nothing else changes).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        shingles: list[str] = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            sh = tx.doc_shingles(t, k)
+            doc_ids.extend([did] * len(sh))
+            shingles.extend(sh)
+        out = pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64),
+                            "shingle": shingles})
+        # route on a content hash (NOT python hash(): must be stable
+        # across workers); factorize -> one crc32 per unique shingle
+        codes, uniq = pd.factorize(out["shingle"], sort=False)
+        import zlib
+
+        uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniq],
+                        dtype=np.int64)
+        out["bucket"] = uh[codes] % n_buckets
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct per (doc, shingle), so group size == number
+        # of docs containing the shingle
+        nd = g.groupby("shingle", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "dup": (nd.to_numpy() >= 2).astype(np.int64)})
+
+    flags = ds.map_batches(explode, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    agg = flags.groupby("doc_id").aggregate(
+        Count(alias_name="n_shingles"), Sum("dup", alias_name="n_dup"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_shingles"].astype(np.int64)
+        dup = df["n_dup"].astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_shingles": n,
+            "n_dup": dup,
+            "dup_ppm": np.floor(1e6 * dup / n).astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+DUP_SHINGLES_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) g
+  WHERE len(ts) >= 5),
+cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(*) FILTER (WHERE c.nd >= 2) AS BIGINT) AS n_dup,
+  CAST(floor(1e6 * count(*) FILTER (WHERE c.nd >= 2) / count(*)) AS BIGINT)
+    AS dup_ppm
+FROM sh s JOIN cnt c USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+def top_tokens_q(sf_dir: str, topk: int = 50):
+    """Corpus top-k tokens by occurrence count, with document frequency.
+
+    Per-batch partial (token, n_occ, n_docs) — docs never span batches,
+    so both stats are additively mergeable — then ONE keyed exchange
+    sums per token and a global sort+limit picks the head. The exchange
+    carries one row per (token, batch): zipf-bounded, never the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.strip()
+        toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
+        ex = pd.DataFrame({"row": df.index, "token": toks}) \
+            .explode("token").dropna(subset=["token"])
+        occ = ex["token"].value_counts(sort=False)
+        docs = ex.drop_duplicates(["row", "token"])["token"] \
+            .value_counts(sort=False)
+        return pd.DataFrame({"token": occ.index.astype(str),
+                             "occ": occ.to_numpy(dtype=np.int64),
+                             "docs": docs.reindex(occ.index)
+                             .to_numpy(dtype=np.int64)})
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("token").aggregate(Sum("occ", alias_name="n_occ"),
+                                    Sum("docs", alias_name="n_docs"))
+    top = agg.sort(["n_occ", "token"], descending=[True, False]).limit(topk)
+    return top.map_batches(
+        lambda df: pd.DataFrame({
+            "token": df["token"],
+            "n_occ": df["n_occ"].astype(np.int64),
+            "n_docs": df["n_docs"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+TOP_TOKENS_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> '')
+SELECT token, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM t GROUP BY token
+ORDER BY n_occ DESC, token ASC LIMIT 50
+"""
+
+
+def tfidf_top_terms_q(sf_dir: str, topk: int = 5):
+    """Top-k distinctive tokens per source by an integer-exact tf/df
+    score: score_ppm = floor(1e6 * tf_source / df_corpus).
+
+    Three keyed exchanges, no driver hop, no broadcast of the vocab:
+    (1) per-batch partial (source, token, tf, nd) -> sum per (source,
+    token); (2) regroup by token — each doc has exactly ONE source, so
+    df = sum of nd over the token's sources — score within the token
+    group; (3) grouped top-k per source (bounded partial head like
+    top_events_per_type). Mirrors a SQL window exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.strip()
+        toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
+        ex = pd.DataFrame({
+            "source": df["source"], "doc_id": df["doc_id"],
+            "token": toks}).explode("token").dropna(subset=["token"])
+        g = ex.groupby(["source", "token"], sort=False) \
+            .agg(tf=("doc_id", "size"), nd=("doc_id", "nunique")) \
+            .reset_index()
+        return g
+
+    per_st = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["source", "token"]).aggregate(
+            Sum("tf", alias_name="tf"), Sum("nd", alias_name="nd"))
+
+    def score_token_group(g: pd.DataFrame) -> pd.DataFrame:
+        df_corpus = int(g["nd"].sum())
+        return pd.DataFrame({
+            "source": g["source"],
+            "token": g["token"],
+            "score_ppm": np.floor(
+                1e6 * g["tf"].to_numpy(dtype=np.int64) / df_corpus
+            ).astype(np.int64)})
+
+    scored = per_st.groupby("token").map_groups(
+        score_token_group, batch_format="pandas")
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score_ppm", "token"],
+                            ascending=[False, True], kind="stable")
+        return df.groupby("source", sort=False).head(topk)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score_ppm", "token"],
+                            ascending=[False, True], kind="stable")
+        df = df.groupby("source", sort=False).head(topk).copy()
+        df["rnk"] = df.groupby("source", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "source": df["source"], "token": df["token"],
+            "score_ppm": df["score_ppm"].astype(np.int64),
+            "rnk": df["rnk"].astype(np.int64)}).reset_index(drop=True)
+
+    return scored.map_batches(head, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+df AS (SELECT token, count(DISTINCT doc_id) AS dfreq FROM t GROUP BY token),
+tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY source, token)
+SELECT source, token,
+       CAST(floor(1e6 * tf.tf / df.dfreq) AS BIGINT) AS score_ppm,
+       CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY floor(1e6 * tf.tf / df.dfreq) DESC, token ASC)
+         AS BIGINT) AS rnk
+FROM tf JOIN df USING (token)
+QUALIFY rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering + semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def embedding_kmeans_q(sf_dir: str, k: int = 10, iters: int = 8):
+    """Distributed Lloyd's k-means assignment over the embeddings table
+    (rows-only: iterative float fitting isn't ANSI-SQL; determinism,
+    layout-independence and label purity are pytest-verified in
+    tests/test_cluster.py)."""
+    from ..stages import cluster as cl
+
+    def make_ds():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    cents = cl.kmeans_fit_distributed(make_ds, k=k, iters=iters)
+    out = cl.assign_clusters(make_ds(), cents)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "cluster": df["cluster"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def semantic_dedup_q(sf_dir: str, k: int = 10, threshold: float = 0.3):
+    """SemDeDup keep flags (Abbas et al. 2023): k-means cluster, then
+    within-cluster cosine near-dup pruning keeping the smallest vec_id.
+    Rows-only; pytest-verified against an in-memory dual oracle.
+
+    Default threshold is 0.3 (not the paper's ~0.95) because the synth
+    embeddings are near-orthogonal (within-label max cosine ~0.4) — at
+    0.95 the op would be a no-op on this corpus and the keep=False
+    branch would go untested.
+    """
+    from ..stages import cluster as cl
+
+    def make_ds():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    cents = cl.kmeans_fit_distributed(make_ds, k=k, iters=8)
+    out = cl.semantic_dedup(make_ds(), cents, threshold=threshold)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "cluster": df["cluster"].astype(np.int64),
+            "keep": df["keep"].astype(bool)}),
+        batch_format="pandas")

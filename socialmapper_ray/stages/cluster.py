@@ -1,0 +1,201 @@
+"""Distributed embedding clustering + cluster-based semantic dedup.
+
+Two training-data operators beyond the reference's surface (the
+reference's only clustering is driver-side DBSCAN batching,
+ref: socialmapper/isochrone/clustering.py:200-290 — used to batch
+isochrone work, not to cluster data at scale):
+
+- :func:`kmeans_fit_distributed` — Lloyd's k-means where every pass over
+  the corpus is a ``map_batches`` partial-sufficient-statistics scan:
+  each batch emits ONE (k x d sums, k counts) row, the driver folds the
+  tiny partial table (bounded by block count, never by corpus size) and
+  re-broadcasts centroids. This is the textbook mergeable-statistics
+  reduction (same shape as the e4-histogram median in
+  pipelines/relational.py), so at 100 TB the driver holds k*d floats
+  and nothing else.
+- :func:`semantic_dedup` — SemDeDup-style near-duplicate pruning
+  (Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+  k-means cluster, then find cosine near-dups ONLY within a cluster
+  (groupby(cluster).map_groups) and keep the smallest vec_id of each
+  near-dup group. Pairwise work is O(sum cluster_size^2), not
+  O(corpus^2); skewed clusters are bounded by ``max_cluster`` with a
+  loud error rather than a silent quadratic blowup.
+
+Determinism: centroid init is the k vectors with the smallest
+splitmix64(vec_id) — layout/parallelism-independent, no RNG — and every
+reduction is a sum of floats in a FIXED fold order (partials sorted by
+block index before folding), so refits on any block layout produce
+byte-identical centroids (pytest: tests/test_cluster.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .ann import _emb_matrix, _normalize
+
+
+def _seed_partial(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch candidate seeds: the k locally smallest splitmix64(id)."""
+    from ..sources.synth import splitmix64
+
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = splitmix64(ids.astype(np.uint64))
+    take = np.argsort(h, kind="stable")[:k]
+    m = _emb_matrix(batch)[take]
+    return pa.table({
+        "hash": pa.array(h[take], pa.uint64()),
+        "vec_id": pa.array(ids[take], pa.int64()),
+        "emb": pa.array(list(m), pa.list_(pa.float64())),
+    })
+
+
+def _init_centroids(ds, k: int) -> np.ndarray:
+    """Deterministic seeds: global k smallest splitmix64(vec_id).
+
+    Partial top-k per batch -> driver merge of <= n_blocks * k tiny
+    rows. Ties impossible (splitmix64 is a bijection over distinct ids).
+    """
+    parts = ds.map_batches(_seed_partial, batch_format="pyarrow",
+                           fn_kwargs=dict(k=k)).to_pandas()
+    parts = parts.sort_values("hash", kind="stable").head(k)
+    return np.asarray([np.asarray(e, dtype=np.float64)
+                       for e in parts["emb"]])
+
+
+def _stats_partial(batch: pa.Table, cents_ref) -> pa.Table:
+    """One row per batch: flattened per-cluster sum matrix + counts."""
+    c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) \
+        else cents_ref
+    x = _normalize(_emb_matrix(batch))
+    assign = np.argmax(x @ c.T, axis=1)
+    k, d = c.shape
+    sums = np.zeros((k, d), dtype=np.float64)
+    counts = np.zeros(k, dtype=np.int64)
+    np.add.at(sums, assign, x)
+    np.add.at(counts, assign, 1)
+    return pa.table({
+        "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
+        "counts": pa.array([counts], pa.list_(pa.int64())),
+    })
+
+
+def kmeans_fit_distributed(make_ds, k: int = 10, iters: int = 8) -> np.ndarray:
+    """Fit k-means centroids with one streaming pass per iteration.
+
+    ``make_ds`` is a zero-arg callable returning a fresh Dataset of
+    (vec_id, embedding) — re-created per pass so no full-corpus
+    materialization is pinned between iterations (at 100 TB each pass
+    streams from storage; only the k x d statistics ever concentrate).
+    Fixed ``iters`` (not a convergence test) keeps the pass count — and
+    therefore the result — independent of float summation noise.
+    """
+    c = _normalize(_init_centroids(make_ds(), k))
+    d = c.shape[1]
+    for _ in range(iters):
+        ref = ray.put(c)
+        parts = make_ds().map_batches(
+            _stats_partial, batch_format="pyarrow",
+            fn_kwargs=dict(cents_ref=ref)).to_pandas()
+        # bounded: one row per input block. Fold in a fixed order so the
+        # float sums are reproducible across runs and layouts.
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        # the partials carry no block id, so sort by the raw bytes of
+        # the counts+sums vectors for a total deterministic fold order
+        rows = [(np.asarray(r["counts"], dtype=np.int64),
+                 np.asarray(r["sums"], dtype=np.float64).reshape(k, d))
+                for _, r in parts.iterrows()]
+        rows.sort(key=lambda t: (t[0].tobytes(), t[1].tobytes()))
+        for cnt, sm in rows:
+            sums += sm
+            counts += cnt
+        new = sums
+        empty = counts == 0
+        new[empty] = c[empty]           # keep dead centroids in place
+        c = _normalize(new)
+    return c
+
+
+def assign_clusters(ds, centroids: np.ndarray, keep_embedding: bool = False):
+    """(vec_id, cluster[, embedding]) via one broadcast-matmul pass."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _normalize(_emb_matrix(batch))
+        assign = np.argmax(x @ c.T, axis=1).astype(np.int64)
+        cols = {
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(assign, pa.int64()),
+        }
+        if keep_embedding:
+            cols["embedding"] = batch["embedding"]
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, centroids: np.ndarray, threshold: float = 0.95,
+                   max_cluster: int = 200_000):
+    """SemDeDup keep flags: within each k-means cluster, drop any vector
+    whose cosine similarity to an already-kept lower-id vector is
+    >= ``threshold``.
+
+    -> Dataset(vec_id int64, cluster int64, keep bool). One shuffle
+    (groupby cluster); per-cluster work is a vectorized greedy scan in
+    vec_id order (deterministic independent of layout). Clusters larger
+    than ``max_cluster`` RAISE: at that size the caller should refit
+    with a larger k rather than let one group go quadratic.
+    """
+    assigned = assign_clusters(ds, centroids, keep_embedding=True)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(g)} rows exceeds "
+                f"max_cluster={max_cluster}; refit with larger k")
+        order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+        ids = g["vec_id"].to_numpy()[order]
+        m = _normalize(np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in g["embedding"]]
+        )[order])
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        # greedy in id order: vec i is dropped iff some kept j<i is close
+        for i in range(1, n):
+            kept_prev = m[: i][keep[: i]]
+            if len(kept_prev) and (kept_prev @ m[i]).max() >= threshold:
+                keep[i] = False
+        return pd.DataFrame({
+            "vec_id": ids.astype(np.int64),
+            "cluster": np.full(n, int(g["cluster"].iloc[0]), dtype=np.int64),
+            "keep": keep,
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pandas")
+
+
+def semantic_dedup_reference(ids: np.ndarray, m: np.ndarray,
+                             clusters: np.ndarray,
+                             threshold: float = 0.95) -> pd.DataFrame:
+    """In-memory dual oracle for tests: same semantics, plain loops."""
+    out = []
+    for cl in np.unique(clusters):
+        sel = clusters == cl
+        cids = ids[sel]
+        cm = _normalize(m[sel])
+        order = np.argsort(cids, kind="stable")
+        cids, cm = cids[order], cm[order]
+        kept_idx: list[int] = []
+        for i in range(len(cids)):
+            drop = any(float(cm[j] @ cm[i]) >= threshold for j in kept_idx)
+            out.append((int(cids[i]), int(cl), not drop))
+            if not drop:
+                kept_idx.append(i)
+    return pd.DataFrame(out, columns=["vec_id", "cluster", "keep"]) \
+        .sort_values("vec_id").reset_index(drop=True)
