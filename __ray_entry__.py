@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tp.tfidf_top_terms_q,
         "embedding_kmeans": tp.embedding_kmeans_q,
         "semantic_dedup": tp.semantic_dedup_q,
+        "media_png_decode": tp.media_png_decode_q,
     }
 
 

@@ -357,6 +357,42 @@ def media_features_q(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def media_png_decode_q(sf_dir: str, hw: int = 24):
+    """REAL image decode through the actor-pool media stage.
+
+    Payloads are genuine baseline PNGs (one deterministic image per
+    doc_id, encoded in-stream by the from-scratch RFC 2083 encoder) and
+    the stage decodes them with the from-scratch decoder — zlib + numpy
+    end to end, no codec library, nothing faked. Rows-only driver check;
+    the encoder/decoder pair and all five scanline filters are
+    golden-tested in tests/test_raster.py / test_multimodal.py.
+    """
+    from ..stages import multimodal
+    from ..stages.raster import png_encode
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.multimodal import fake_decode_image
+
+        blobs = [png_encode(fake_decode_image(
+            int(i).to_bytes(8, "little"), hw, hw)) for i in df["doc_id"]]
+        return pd.DataFrame({"media_id": df["doc_id"].astype(np.int64),
+                             "payload": blobs})
+
+    media = ds.map_batches(make_payload, batch_format="pandas")
+    out = multimodal.decode_media(media, decoder_cls=multimodal.PngImageDecoder)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "media_id": df["media_id"].astype(np.int64),
+            "height": df["height"].astype(np.int64),
+            "width": df["width"].astype(np.int64),
+            "channels": df["channels"].astype(np.int64),
+            "mean_r": df["mean_r"], "mean_g": df["mean_g"],
+            "mean_b": df["mean_b"]}),
+        batch_format="pandas")
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -56,19 +56,64 @@ class FakeDecoder:
 
 
 class RealDecoder:
-    """Integration point for an actual decoder (PIL / ffmpeg / librosa).
+    """Integration point for codec-library decoders (ffmpeg / librosa —
+    audio/video formats need external codecs this container lacks).
 
-    Not available in this environment — importing those libs here must
-    raise loudly rather than silently degrade.
+    Importing those libs here must raise loudly rather than silently
+    degrade. For PNG images no external library is needed:
+    :class:`PngImageDecoder` below is a REAL decode path.
     """
 
     def __init__(self, *a, **kw):
         raise NotImplementedError(
-            "no media decode libraries in this container; subclass with "
-            "e.g. PIL.Image.open(io.BytesIO(blob)) in __init__-loaded "
-            "state and swap the class name in decode_media(). The stage "
-            "contract (batch in, payload dropped, fixed-width 'features' "
-            "list<float> out) is defined by FakeDecoder.")
+            "no audio/video codec libraries in this container; subclass "
+            "with e.g. ffmpeg in __init__-loaded state and swap the class "
+            "name in decode_media(). The stage contract (batch in, payload "
+            "dropped, fixed-width 'features' list<float> out) is defined "
+            "by FakeDecoder. PNG images decode for REAL via "
+            "PngImageDecoder.")
+
+
+class PngImageDecoder:
+    """REAL image decode stage: baseline-PNG payload bytes -> pixels
+    (stages/raster.py png_decode, a from-scratch RFC 2083 decoder —
+    zlib + numpy only) -> per-image stats. Same actor-pool shape as
+    FakeDecoder; payload dropped on output (wide-binary rule).
+
+    Output: height, width, channels, mean_r/g/b (ROUND 6). A payload
+    that is not a decodable baseline PNG raises — corrupt media must
+    surface, not pass as zeros.
+    """
+
+    def __init__(self, payload_col: str = "payload"):
+        from .raster import png_decode
+
+        self.payload_col = payload_col
+        self._decode = png_decode
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=[self.payload_col])
+        if df.empty:
+            for c, dt in (("height", np.int64), ("width", np.int64),
+                          ("channels", np.int64), ("mean_r", np.float64),
+                          ("mean_g", np.float64), ("mean_b", np.float64)):
+                out[c] = pd.Series(dtype=dt)
+            return out
+        hs, ws, cs, means = [], [], [], []
+        for blob in df[self.payload_col]:
+            img = self._decode(bytes(blob))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            cs.append(img.shape[2])
+            means.append(img[..., :3].reshape(-1, 3).mean(axis=0))
+        m = np.vstack(means)
+        out["height"] = np.asarray(hs, dtype=np.int64)
+        out["width"] = np.asarray(ws, dtype=np.int64)
+        out["channels"] = np.asarray(cs, dtype=np.int64)
+        out["mean_r"] = np.round(m[:, 0], 6)
+        out["mean_g"] = np.round(m[:, 1], 6)
+        out["mean_b"] = np.round(m[:, 2], 6)
+        return out
 
 
 def decode_media(ds, decoder_cls=FakeDecoder, concurrency=2,

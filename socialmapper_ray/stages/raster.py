@@ -168,8 +168,19 @@ def png_encode(rgb: np.ndarray, compress_level: int = 6) -> bytes:
 
 
 def png_decode(buf: bytes) -> np.ndarray:
-    """Minimal decoder for this module's own output (filter-0 RGB8) —
-    the round-trip oracle for tests; rejects anything else."""
+    """From-scratch baseline-PNG decoder (RFC 2083): 8-bit truecolor
+    RGB (color type 2) and RGBA (type 6), non-interlaced, all five
+    scanline filters (None/Sub/Up/Average/Paeth). Returns (h, w, 3|4)
+    uint8. Palette/16-bit/interlaced images are rejected LOUDLY — this
+    decoder exists because no codec library ships in the target
+    container, and a silent wrong decode is worse than an error.
+
+    Filter reconstruction: Sub is a per-lane modular prefix sum
+    (vectorized cumsum % 256), Up is one vector add per row; Average
+    and Paeth carry an intra-row pixel dependency and run as a
+    per-pixel loop vectorized across channel lanes (encoders that
+    matter for round-trips here emit 0/Sub/Up).
+    """
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w = 8, None
@@ -182,17 +193,65 @@ def png_decode(buf: bytes) -> np.ndarray:
         if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
             raise ValueError(f"bad crc in {tag!r}")
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack_from(">IIBB", data, 0)
-            if (depth, ctype) != (8, 2):
-                raise ValueError("only 8-bit RGB supported")
+            w, h, depth, ctype, comp, filt, ilace = \
+                struct.unpack_from(">IIBBBBB", data, 0)
+            if depth != 8 or ctype not in (2, 6):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={ctype}):"
+                    " only 8-bit RGB/RGBA baseline is implemented")
+            if ilace != 0:
+                raise ValueError("interlaced PNG not supported")
         elif tag == b"IDAT":
             idat += data
         pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    bpp = 3 if ctype == 2 else 4
+    stride = w * bpp
     rows = np.frombuffer(zlib.decompress(idat), dtype=np.uint8) \
-        .reshape(h, w * 3 + 1)
-    if (rows[:, 0] != 0).any():
-        raise ValueError("only filter 0 supported")
-    return rows[:, 1:].reshape(h, w, 3).copy()
+        .reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = int(ftypes[r])
+        raw = rows[r, 1:].astype(np.int64)
+        if ft == 0:
+            rec = raw
+        elif ft == 1:                      # Sub: per-lane prefix sum
+            rec = np.cumsum(raw.reshape(w, bpp), axis=0).ravel() % 256
+        elif ft == 2:                      # Up
+            rec = (raw + prev) % 256
+        elif ft == 3:                      # Average (intra-row recur)
+            rec = np.zeros(stride, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            rp = raw.reshape(w, bpp)
+            pp = prev.reshape(w, bpp)
+            rr = rec.reshape(w, bpp)
+            for x in range(w):
+                left = (rp[x] + (left + pp[x]) // 2) % 256
+                rr[x] = left
+        elif ft == 4:                      # Paeth
+            rec = np.zeros(stride, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            rp = raw.reshape(w, bpp)
+            pp = prev.reshape(w, bpp)
+            rr = rec.reshape(w, bpp)
+            for x in range(w):
+                p = left + pp[x] - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - pp[x]),
+                              np.abs(p - ul))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, pp[x], ul))
+                left = (rp[x] + pred) % 256
+                rr[x] = left
+                ul = pp[x]
+        else:
+            raise ValueError(f"bad filter type {ft} in row {r}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, bpp).copy()
 
 
 def class_colors(classes: np.ndarray,

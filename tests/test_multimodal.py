@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from socialmapper_ray.stages import multimodal as mm
 
@@ -87,3 +88,39 @@ def test_media_stages_run_in_ray(ray_session):
     assert len(frames) == 6 * 3
     assert sorted(frames["frame_index"].unique()) == [0, 4, 8]
     assert len(frames["features"].iloc[0]) == mm.FEATURE_DIM
+
+
+def test_png_image_decoder_real_decode(ray_session):
+    """REAL decode path: PNG payloads built by the from-scratch encoder
+    decode through the actor-pool stage to exact pixel stats."""
+    import ray.data as rd
+
+    from socialmapper_ray.stages import multimodal
+    from socialmapper_ray.stages.raster import png_encode
+
+    imgs = [multimodal.fake_decode_image(bytes([i]), 8, 8)
+            for i in range(12)]
+    df = pd.DataFrame({
+        "media_id": np.arange(12, dtype=np.int64),
+        "payload": [png_encode(im) for im in imgs]})
+    out = multimodal.decode_media(
+        rd.from_pandas(df), decoder_cls=multimodal.PngImageDecoder,
+        batch_size=5).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    assert out["height"].eq(8).all() and out["width"].eq(8).all()
+    assert out["channels"].eq(3).all()
+    want_means = np.vstack([im.reshape(-1, 3).mean(axis=0) for im in imgs])
+    got = out[["mean_r", "mean_g", "mean_b"]].to_numpy()
+    assert np.allclose(got, np.round(want_means, 6))
+
+
+def test_png_image_decoder_raises_on_corrupt(ray_session):
+    import ray.data as rd
+
+    from socialmapper_ray.stages import multimodal
+
+    df = pd.DataFrame({"media_id": [0], "payload": [b"not a png"]})
+    with pytest.raises(Exception, match="not a PNG"):
+        multimodal.decode_media(
+            rd.from_pandas(df),
+            decoder_cls=multimodal.PngImageDecoder).to_pandas()

@@ -91,3 +91,88 @@ def test_choropleth_raster_end_to_end(ray_session):
     assert -1 in got_classes                      # background present
     assert {1, 2, 3, 4, 5} <= got_classes         # all quantile bins
     assert (out1["png_bytes"] > 100).all()
+
+
+# ---------------------------------------------------------------------------
+# Full baseline decoder: all five scanline filters, RGB + RGBA
+# ---------------------------------------------------------------------------
+
+def _apply_filter(ft: int, row: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """Reference ENCODE-side filter (RFC 2083 §6.2-6.6) as int arrays."""
+    r = row.astype(np.int64)
+    p = prev.astype(np.int64)
+    left = np.concatenate([np.zeros(bpp, dtype=np.int64), r[:-bpp]])
+    upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), p[:-bpp]])
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - left
+    elif ft == 2:
+        out = r - p
+    elif ft == 3:
+        out = r - (left + p) // 2
+    elif ft == 4:
+        est = left + p - upleft
+        pa, pb, pc = (np.abs(est - left), np.abs(est - p),
+                      np.abs(est - upleft))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, p, upleft))
+        out = r - pred
+    return (out % 256).astype(np.uint8)
+
+
+def _encode_with_filters(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Hand-rolled PNG with a chosen filter type per scanline."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    bpp = ch
+    flat = img.reshape(h, w * ch)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for r in range(h):
+        ft = ftypes[r % len(ftypes)]
+        raw.append(ft)
+        raw.extend(_apply_filter(ft, flat[r], prev, bpp).tobytes())
+        prev = flat[r]
+    comp = zlib.compress(bytes(raw), 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ctype = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_decode_each_filter(ft):
+    img = RNG.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    buf = _encode_with_filters(img, [ft])
+    assert np.array_equal(raster.png_decode(buf), img)
+
+
+def test_png_decode_mixed_filters_rgba():
+    img = RNG.integers(0, 256, size=(13, 9, 4), dtype=np.uint8)
+    buf = _encode_with_filters(img, [0, 1, 2, 3, 4])
+    assert np.array_equal(raster.png_decode(buf), img)
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        raster.png_decode(bad)
+    with pytest.raises(ValueError, match="not a PNG"):
+        raster.png_decode(b"JFIF....")
