@@ -873,47 +873,59 @@ def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
 
     Plan: explode (doc_id, shingle) distinct-per-doc -> hash-bucket the
     shingle key (ONE exchange; per-bucket kernel is a single vectorized
-    transform('size'), never per-shingle Python) -> per-doc sum (second
-    keyed exchange) -> ppm finalize. Shingle strings ride the first
-    exchange so the SQL oracle is exact; at 100 TB the same plan runs on
-    the 64-bit shingle hash instead (collision odds ~n^2/2^65 — swap
-    the key column, nothing else changes).
+    transform('size'), never per-shingle Python, and PRE-AGGREGATES per
+    doc so the second exchange carries one row per (doc, bucket)) ->
+    per-doc sum (second keyed exchange) -> ppm finalize. Shingle strings
+    ride the first exchange so the SQL oracle is exact; at 100 TB the
+    same plan runs on the 64-bit shingle hash instead (collision odds
+    ~n^2/2^65 — swap the key column, nothing else changes). Every stage
+    emits ARROW blocks: Ray's sort-aggregate is vectorized on Arrow but
+    per-group python on pandas blocks (measured 19 s -> 1.5 s on this
+    very query's final aggregate).
     """
-    from ray.data.aggregate import Count, Sum
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def explode(df: pd.DataFrame) -> pa.Table:
         doc_ids: list[int] = []
         shingles: list[str] = []
         for did, t in zip(df["doc_id"], df["text"]):
             sh = tx.doc_shingles(t, k)
             doc_ids.extend([did] * len(sh))
             shingles.extend(sh)
-        out = pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64),
-                            "shingle": shingles})
         # route on a content hash (NOT python hash(): must be stable
         # across workers); factorize -> one crc32 per unique shingle
-        codes, uniq = pd.factorize(out["shingle"], sort=False)
+        codes, uniq = pd.factorize(pd.Series(shingles, dtype=object),
+                                   sort=False)
         import zlib
 
         uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniq],
                         dtype=np.int64)
-        out["bucket"] = uh[codes] % n_buckets
-        return out
+        return pa.table({
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "shingle": pa.array(shingles, pa.string()),
+            "bucket": pa.array(uh[codes] % n_buckets)})
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         # rows are distinct per (doc, shingle), so group size == number
-        # of docs containing the shingle
+        # of docs containing the shingle; pre-aggregate per doc before
+        # the exchange
         nd = g.groupby("shingle", sort=False)["doc_id"].transform("size")
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(),
-            "dup": (nd.to_numpy() >= 2).astype(np.int64)})
+        t = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                          "dup": (nd.to_numpy() >= 2).astype(np.int64)})
+        p = t.groupby("doc_id", sort=False) \
+            .agg(n=("dup", "size"), d=("dup", "sum")).reset_index()
+        return pa.table({
+            "doc_id": pa.array(p["doc_id"].to_numpy(dtype=np.int64)),
+            "n": pa.array(p["n"].to_numpy(dtype=np.int64)),
+            "d": pa.array(p["d"].to_numpy(dtype=np.int64))})
 
     flags = ds.map_batches(explode, batch_format="pandas") \
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     agg = flags.groupby("doc_id").aggregate(
-        Count(alias_name="n_shingles"), Sum("dup", alias_name="n_dup"))
+        Sum("n", alias_name="n_shingles"), Sum("d", alias_name="n_dup"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n_shingles"].astype(np.int64)
@@ -963,7 +975,9 @@ def top_tokens_q(sf_dir: str, topk: int = 50):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pa.Table:
         t = df["text"].str.strip()
         toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
         ex = pd.DataFrame({"row": df.index, "token": toks}) \
@@ -971,10 +985,13 @@ def top_tokens_q(sf_dir: str, topk: int = 50):
         occ = ex["token"].value_counts(sort=False)
         docs = ex.drop_duplicates(["row", "token"])["token"] \
             .value_counts(sort=False)
-        return pd.DataFrame({"token": occ.index.astype(str),
-                             "occ": occ.to_numpy(dtype=np.int64),
-                             "docs": docs.reindex(occ.index)
-                             .to_numpy(dtype=np.int64)})
+        # arrow out: Ray's sort-aggregate is vectorized on Arrow blocks,
+        # per-group python on pandas blocks (18x on this box)
+        return pa.table({
+            "token": pa.array(occ.index.astype(str), pa.string()),
+            "occ": pa.array(occ.to_numpy(dtype=np.int64)),
+            "docs": pa.array(docs.reindex(occ.index)
+                             .to_numpy(dtype=np.int64))})
 
     agg = ds.map_batches(partial, batch_format="pandas") \
         .groupby("token").aggregate(Sum("occ", alias_name="n_occ"),
@@ -1014,7 +1031,9 @@ def tfidf_top_terms_q(sf_dir: str, topk: int = 5):
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pa.Table:
         t = df["text"].str.strip()
         toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
         ex = pd.DataFrame({
@@ -1023,23 +1042,48 @@ def tfidf_top_terms_q(sf_dir: str, topk: int = 5):
         g = ex.groupby(["source", "token"], sort=False) \
             .agg(tf=("doc_id", "size"), nd=("doc_id", "nunique")) \
             .reset_index()
-        return g
+        # arrow out for the downstream sort-aggregate (see top_tokens_q)
+        return pa.table({
+            "source": pa.array(g["source"].astype(str), pa.string()),
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+            "nd": pa.array(g["nd"].to_numpy(dtype=np.int64))})
 
     per_st = ds.map_batches(partial, batch_format="pandas") \
         .groupby(["source", "token"]).aggregate(
             Sum("tf", alias_name="tf"), Sum("nd", alias_name="nd"))
 
-    def score_token_group(g: pd.DataFrame) -> pd.DataFrame:
-        df_corpus = int(g["nd"].sum())
-        return pd.DataFrame({
-            "source": g["source"],
-            "token": g["token"],
-            "score_ppm": np.floor(
-                1e6 * g["tf"].to_numpy(dtype=np.int64) / df_corpus
-            ).astype(np.int64)})
+    def add_token_bucket(df: pd.DataFrame) -> pa.Table:
+        # regroup-by-token via a hash bucket: the scoring kernel then
+        # runs ONCE per bucket (vectorized transform), not once per
+        # vocabulary entry — map_groups per token is a python call per
+        # unique token, a non-starter on a web-scale vocab
+        import zlib
 
-    scored = per_st.groupby("token").map_groups(
-        score_token_group, batch_format="pandas")
+        codes, uniq = pd.factorize(df["token"], sort=False)
+        uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniq],
+                        dtype=np.int64)
+        return pa.table({
+            "source": pa.array(df["source"].astype(str), pa.string()),
+            "token": pa.array(df["token"].astype(str), pa.string()),
+            "tf": pa.array(df["tf"].to_numpy(dtype=np.int64)),
+            "nd": pa.array(df["nd"].to_numpy(dtype=np.int64)),
+            "bucket": pa.array(uh[codes] % 32)})
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        # each doc has exactly one source, so df(token) = sum of nd over
+        # the token's (source) rows — all of which share this bucket
+        dfreq = g.groupby("token", sort=False)["nd"].transform("sum") \
+            .to_numpy(dtype=np.int64)
+        return pa.table({
+            "source": pa.array(g["source"].astype(str), pa.string()),
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "score_ppm": pa.array(np.floor(
+                1e6 * g["tf"].to_numpy(dtype=np.int64) / dfreq
+            ).astype(np.int64))})
+
+    scored = per_st.map_batches(add_token_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(score_bucket, batch_format="pandas")
 
     def head(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["score_ppm", "token"],
