@@ -109,7 +109,17 @@ def main():
                      ("zcta_by_prefix", sp.zcta_by_prefix_sql),
                      ("zone_choropleth", sp.zone_choropleth_sql),
                      ("band_polygons", sp.band_polygons_sql),
-                     ("geocode_pois", sp.geocode_pois_sql)):
+                     ("network_bands", sp.network_bands_sql),
+                     ("network_bands_multimode",
+                      sp.network_bands_multimode_sql),
+                     ("radius_join", sp.radius_join_sql),
+                     ("geocode_pois", sp.geocode_pois_sql),
+                     # reads the synth pages parquet directly — its SQL
+                     # embeds the sf-specific path, so it MUST be
+                     # rebuilt per sf dir (sf0.001 and sf0.01 have the
+                     # same doc count but different texts: a stale
+                     # sf0.01 path passes rows and fails sum_chars)
+                     ("domain_stats", tp.domain_stats_sql)):
         oracles[name] = fn(d)
 
     con = duckdb.connect()
