@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": tp.embedding_kmeans_q,
         "semantic_dedup": tp.semantic_dedup_q,
         "media_png_decode": tp.media_png_decode_q,
+        "events_p99_filter": rel.events_p99_filter,
+        "doc_rarity": tp.doc_rarity_q,
     }
 
 
@@ -217,4 +219,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_shingles": tp.DUP_SHINGLES_SQL,
         "top_tokens": tp.TOP_TOKENS_SQL,
         "tfidf_top_terms": tp.TFIDF_TOP_TERMS_SQL,
+        "events_p99_filter": rel.EVENTS_P99_SQL,
+        "doc_rarity": tp.DOC_RARITY_SQL,
     }

@@ -165,6 +165,12 @@ def run_bench() -> dict:
     timed("network_bands", lambda: sp.network_bands_q(SF_DIR).count())
     timed("asof_purchase", lambda: rel.asof_purchase(SF_DIR).count())
     timed("pack_sequences", lambda: tp.pack_sequences_q(SF_DIR).count())
+    timed("dup_shingles", lambda: tp.dup_shingles_q(SF_DIR).count())
+    timed("top_tokens", lambda: tp.top_tokens_q(SF_DIR).count())
+    timed("embedding_kmeans",
+          lambda: tp.embedding_kmeans_q(SF_DIR).count())
+    timed("media_png_decode",
+          lambda: tp.media_png_decode_q(SF_DIR).count())
 
     headline = timings["flagship"] + timings["pip_join"]
     result = {

@@ -1009,6 +1009,80 @@ FROM s GROUP BY event_type
 """
 
 
+def events_p99_filter(sf_dir: str):
+    """Per-group exact-percentile OUTLIER FILTER: rows with value above
+    their event_type's exact p99.
+
+    Composes the lossless e4-histogram exchange (events_quartiles) with
+    a broadcast-threshold second pass: pass 1 reduces the value
+    distribution to per-(group, value_e4) counts and reads off p99 per
+    group (<= one row per group — broadcast via ray.put, never a join);
+    pass 2 streams the events again and keeps rows above the group's
+    threshold. The value stream crosses the wire once as histogram
+    partials; the filter pass moves only survivors.
+    """
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(v=(df["value"] * 10000).round().astype(np.int64))
+        return df.groupby(["event_type", "v"], sort=False) \
+                 .size().reset_index(name="n")
+
+    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["event_type", "v"], sort=False)["n"].sum() \
+               .reset_index()
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("v")
+            n = int(g["n"].sum())
+            c = g["n"].cumsum().to_numpy()
+            v = g["v"].to_numpy()
+            rows.append((et, int(v[np.searchsorted(
+                c, int(np.ceil(0.99 * n)))])))
+        return pd.DataFrame(rows, columns=["event_type", "p99_e4"])
+
+    thr = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(thresholds, batch_format="pandas", batch_size=None) \
+        .to_pandas()
+    thr_ref = ray.put(dict(zip(thr["event_type"], thr["p99_e4"])))
+
+    def keep_outliers(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        v = (df["value"] * 10000).round().astype(np.int64)
+        cut = df["event_type"].map(t).to_numpy(dtype=np.int64)
+        m = v.to_numpy() > cut
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[m].astype(np.int64),
+            "event_type": df["event_type"].to_numpy()[m],
+            "value_e4": v.to_numpy()[m]})
+
+    return ds.map_batches(keep_outliers, batch_format="pandas")
+
+
+EVENTS_P99_SQL = """
+WITH s AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 10000, 0) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s),
+thr AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END)
+           AS p99
+  FROM r GROUP BY event_type)
+SELECT s.event_id, s.event_type, s.v AS value_e4
+FROM s JOIN thr USING (event_type)
+WHERE s.v > thr.p99
+"""
+
+
 def events_props_extract(sf_dir: str):
     """JSON field extraction (§2.8 json flavour over the events side
     channel): pull ``k`` out of the ``props`` JSON string with a

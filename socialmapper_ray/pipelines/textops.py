@@ -1123,6 +1123,87 @@ QUALIFY rnk <= 5
 """
 
 
+def doc_rarity_q(sf_dir: str, n_buckets: int = 32):
+    """Per-doc token-rarity score: mean corpus document-frequency of the
+    doc's tokens (occurrence-weighted) — rare-vocabulary docs score low,
+    boilerplate scores high. The integer-exact cousin of a unigram-LM
+    quality score (log-probability needs libm parity across engines;
+    sums of integer document frequencies hash-match exactly).
+
+    Same two-exchange shape as dup_shingles: per-batch (doc, token, occ)
+    partials -> token-bucket exchange (df = rows per token inside the
+    bucket, contributions computed vectorized, pre-aggregated per doc)
+    -> per-doc sum. Arrow blocks into both aggregates.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        import zlib
+
+        t = df["text"].str.strip()
+        toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
+        ex = pd.DataFrame({"doc_id": df["doc_id"], "token": toks}) \
+            .explode("token").dropna(subset=["token"])
+        g = ex.groupby(["doc_id", "token"], sort=False) \
+            .size().reset_index(name="occ")
+        codes, uniq = pd.factorize(g["token"], sort=False)
+        uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniq],
+                        dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "occ": pa.array(g["occ"].to_numpy(dtype=np.int64)),
+            "bucket": pa.array(uh[codes] % n_buckets)})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # one row per (doc, token) -> per-token row count IS the
+        # document frequency; weight by occurrence and pre-sum per doc
+        dfreq = g.groupby("token", sort=False)["occ"].transform("size") \
+            .to_numpy(dtype=np.int64)
+        occ = g["occ"].to_numpy(dtype=np.int64)
+        t = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                          "ntok": occ, "sdf": occ * dfreq})
+        p = t.groupby("doc_id", sort=False).sum().reset_index()
+        return pa.table({
+            "doc_id": pa.array(p["doc_id"].to_numpy(dtype=np.int64)),
+            "ntok": pa.array(p["ntok"].to_numpy(dtype=np.int64)),
+            "sdf": pa.array(p["sdf"].to_numpy(dtype=np.int64))})
+
+    agg = ds.map_batches(explode, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("doc_id").aggregate(Sum("ntok", alias_name="n_tokens"),
+                                     Sum("sdf", alias_name="sum_df"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].astype(np.int64)
+        s = df["sum_df"].astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_tokens": n, "sum_df": s,
+            "mean_df_ppm": np.floor(1e6 * s / n).astype(np.int64)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+DOC_RARITY_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+dt AS (SELECT doc_id, tok, count(*) AS occ FROM t GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS dfreq FROM dt GROUP BY tok)
+SELECT dt.doc_id,
+  CAST(sum(dt.occ) AS BIGINT) AS n_tokens,
+  CAST(sum(dt.occ * df.dfreq) AS BIGINT) AS sum_df,
+  CAST(floor(1e6 * sum(dt.occ * df.dfreq) / sum(dt.occ)) AS BIGINT)
+    AS mean_df_ppm
+FROM dt JOIN df USING (tok)
+GROUP BY dt.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding clustering + semantic dedup (SemDeDup)
 # ---------------------------------------------------------------------------
