@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_decode": tp.media_png_decode_q,
         "events_p99_filter": rel.events_p99_filter,
         "doc_rarity": tp.doc_rarity_q,
+        "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,
     }
 
 
@@ -221,4 +222,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": tp.TFIDF_TOP_TERMS_SQL,
         "events_p99_filter": rel.EVENTS_P99_SQL,
         "doc_rarity": tp.DOC_RARITY_SQL,
+        "dedup_incremental_bloom": tp.DEDUP_INCREMENTAL_SQL,
     }

@@ -744,6 +744,85 @@ WHERE n.text_hash NOT IN (SELECT text_hash FROM old)
 """
 
 
+def dedup_incremental_bloom_q(sf_dir: str, split_id: int = 250):
+    """Incremental dedup with a BLOOM PREFILTER — same output (and same
+    SQL oracle) as :func:`dedup_incremental_q`, different data movement:
+
+    1. Build a mergeable Bloom bitmap over the OLD corpus's content
+       hashes (per-block partial bitmaps OR-combined — the exchange is
+       bounded by block count, never by corpus cardinality).
+    2. Stream the NEW shard once, marking bloom-positive rows as
+       duplicate CANDIDATES; build a second bloom over just the
+       candidate hashes.
+    3. The exact bucketed anti-join then moves all new rows plus ONLY
+       the old rows that hit the candidate bloom — at a typical ingest
+       (most of the new shard is genuinely new, dup overlap is small)
+       the old side ships a sliver of its hashes instead of all of
+       them. Blooms never false-negative, so the exact check sees every
+       true duplicate; false positives only add a few spurious old rows
+       to the exchange. Output is EXACT either way.
+    """
+    from ..stages.dedup import add_text_hash
+    from ..stages.sketch import bloom_contains, bloom_of_dataset, hex_to_u64
+
+    n_buckets = 16
+
+    def read_side(new: bool):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        expr = f"doc_id >= {split_id}" if new else f"doc_id < {split_id}"
+        return ds.filter(expr=expr)
+
+    def hash_keys(df: pd.DataFrame) -> np.ndarray:
+        return hex_to_u64(add_text_hash(df)["text_hash"])
+
+    bloom_old = bloom_of_dataset(read_side(False), hash_keys)
+    import ray
+
+    bloom_old_ref = ray.put(bloom_old)
+
+    def cand_keys(df: pd.DataFrame) -> np.ndarray:
+        keys = hash_keys(df)
+        return keys[bloom_contains(ray.get(bloom_old_ref), keys)]
+
+    bloom_cand_ref = ray.put(bloom_of_dataset(read_side(True), cand_keys))
+
+    def prep_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = add_text_hash(df)[["doc_id", "text_hash"]]
+        out["is_new"] = np.int64(1)
+        return out
+
+    def prep_old(df: pd.DataFrame) -> pd.DataFrame:
+        out = add_text_hash(df)[["doc_id", "text_hash"]]
+        keys = hex_to_u64(out["text_hash"])
+        out = out.loc[bloom_contains(ray.get(bloom_cand_ref), keys)]
+        out = out.drop_duplicates("text_hash")
+        out["is_new"] = np.int64(0)
+        return out
+
+    both = read_side(True).map_batches(prep_new, batch_format="pandas") \
+        .union(read_side(False).map_batches(prep_old,
+                                            batch_format="pandas"))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = pd.util.hash_array(
+            df["text_hash"].to_numpy(dtype=object)) \
+            .astype(np.int64) % np.int64(n_buckets)
+        return df
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g.loc[g["is_new"] == 0, "text_hash"])
+        new = g.loc[g["is_new"] == 1].sort_values("doc_id") \
+            .drop_duplicates("text_hash")
+        keep = new.loc[~new["text_hash"].isin(seen)]
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].astype(np.int64),
+            "text_hash": keep["text_hash"]})
+
+    return both.map_batches(bucketize, batch_format="pandas") \
+        .groupby("__bucket").map_groups(anti_bucket, batch_format="pandas")
+
+
 def text_repetition_q(sf_dir: str):
     """Token repetition ratio per document (1 - distinct/total tokens,
     floor-ppm) — the repetitive-boilerplate quality signal of LLM data

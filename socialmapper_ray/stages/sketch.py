@@ -98,3 +98,81 @@ def approx_distinct_per_group(ds, group_col: str, value_col: str,
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby(group_col).map_groups(combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership sketch)
+# ---------------------------------------------------------------------------
+#
+# Published foundation: Bloom, "Space/time trade-offs in hash coding
+# with allowable errors" (CACM 1970); double hashing per Kirsch &
+# Mitzenmacher, "Less hashing, same performance" (ESA 2006):
+# position_i = (h1 + i*h2) mod m. Merge is bitwise OR — associative,
+# commutative, retry/tree-safe, so per-batch partial bitmaps combine in
+# any order. A Bloom filter NEVER false-negatives: engine code may use
+# it only as a PREFILTER in front of an exact check.
+
+BLOOM_M_BITS = 1 << 20          # 128 KiB bitmap
+BLOOM_K = 7                     # ~optimal for ~100k members at 2^20 bits
+
+
+def _bloom_positions(values: np.ndarray, m_bits: int, k: int):
+    """(n, k) int64 bit positions via splitmix64 double hashing."""
+    from ..sources.synth import splitmix64
+
+    v = np.asarray(values, dtype=np.uint64)
+    h1 = splitmix64(v).astype(np.int64) & np.int64((1 << 62) - 1)
+    h2 = (splitmix64(v ^ np.uint64(0x9E3779B97F4A7C15))
+          .astype(np.int64) & np.int64((1 << 62) - 1)) | np.int64(1)
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.int64(m_bits)
+
+
+def bloom_bits(values: np.ndarray, m_bits: int = BLOOM_M_BITS,
+               k: int = BLOOM_K) -> np.ndarray:
+    """Packed bitmap (m_bits/8 uint8) containing ``values`` (uint64)."""
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    if len(values) == 0:
+        return bits
+    pos = _bloom_positions(values, m_bits, k).ravel()
+    np.bitwise_or.at(bits, pos >> 3,
+                     (np.uint8(1) << (pos & 7).astype(np.uint8)))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, values: np.ndarray,
+                   m_bits: int = BLOOM_M_BITS,
+                   k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership test -> bool array (false positives only)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(values, m_bits, k)
+    got = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+    return got.all(axis=1)
+
+
+def hex_to_u64(hashes) -> np.ndarray:
+    """First 16 hex chars of a digest string column -> uint64 keys."""
+    return np.asarray([int(str(h)[:16], 16) for h in hashes],
+                      dtype=np.uint64)
+
+
+def bloom_of_dataset(ds, value_fn, m_bits: int = BLOOM_M_BITS,
+                     k: int = BLOOM_K) -> np.ndarray:
+    """OR-combine per-batch partial bitmaps into one bitmap.
+
+    ``value_fn(batch_df) -> uint64 array``. The exchange carries one
+    m_bits/8-byte row per input block (bounded by block count, never by
+    cardinality); the driver folds ONLY those bitmaps.
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = bloom_bits(value_fn(df), m_bits, k)
+        return pd.DataFrame({"bits": [b.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for blob in parts["bits"]:
+        out |= np.frombuffer(blob, dtype=np.uint8)
+    return out

@@ -55,3 +55,65 @@ def test_approx_distinct_per_group_matches_exact(ray_session):
     for g in ("a", "b"):
         rel = abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g]
         assert rel < 0.065, (g, out.loc[g, "approx_distinct"], exact[g])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives():
+    from socialmapper_ray.stages.sketch import bloom_bits, bloom_contains
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 63, 5000).astype(np.uint64)
+    bits = bloom_bits(members)
+    assert bloom_contains(bits, members).all()
+
+
+def test_bloom_fpr_bounded():
+    from socialmapper_ray.stages.sketch import (BLOOM_K, BLOOM_M_BITS,
+                                                bloom_bits, bloom_contains)
+
+    rng = np.random.default_rng(8)
+    members = rng.integers(0, 1 << 63, 20_000).astype(np.uint64)
+    others = rng.integers(0, 1 << 63, 50_000).astype(np.uint64)
+    others = np.setdiff1d(others, members)
+    bits = bloom_bits(members)
+    fpr = bloom_contains(bits, others).mean()
+    # theoretical (1 - e^(-kn/m))^k at n=20k, m=2^20, k=7 ~= 2.2e-6;
+    # allow two orders of margin — the point is "vanishingly small"
+    assert fpr < 1e-3, fpr
+
+
+def test_bloom_merge_is_or():
+    from socialmapper_ray.stages.sketch import bloom_bits
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 1 << 63, 1000).astype(np.uint64)
+    b = rng.integers(0, 1 << 63, 1000).astype(np.uint64)
+    merged = bloom_bits(np.concatenate([a, b]))
+    assert np.array_equal(merged, bloom_bits(a) | bloom_bits(b))
+
+
+def test_bloom_of_dataset_matches_single_shot(ray_session):
+    import ray.data as rd
+
+    from socialmapper_ray.stages.sketch import bloom_bits, bloom_of_dataset
+
+    rng = np.random.default_rng(10)
+    vals = rng.integers(0, 1 << 63, 4000).astype(np.uint64)
+    df = pd.DataFrame({"v": vals.astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(13)
+    got = bloom_of_dataset(ds, lambda d: d["v"].to_numpy().astype(np.uint64))
+    assert np.array_equal(got, bloom_bits(vals))
+
+
+def test_incremental_bloom_equals_plain(ray_session):
+    from socialmapper_ray.pipelines import textops as tp
+
+    sf = "/root/testdata/sf0.001"
+    plain = tp.dedup_incremental_q(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = tp.dedup_incremental_bloom_q(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, bloom)
