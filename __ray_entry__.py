@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_p99_filter": rel.events_p99_filter,
         "doc_rarity": tp.doc_rarity_q,
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,
+        "top_tokens_cms": tp.top_tokens_cms_q,
     }
 
 

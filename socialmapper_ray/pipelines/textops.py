@@ -1095,6 +1095,62 @@ ORDER BY n_occ DESC, token ASC LIMIT 50
 """
 
 
+def top_tokens_cms_q(sf_dir: str, topk: int = 20):
+    """Approximate corpus heavy hitters via a count-min sketch — the
+    scale path for :func:`top_tokens_q` when the VOCABULARY itself is
+    too large to shuffle: each batch ships a fixed d x w counter matrix
+    plus its local top candidates (bounded bytes per batch, independent
+    of vocabulary size); the combine sums the sketches and re-estimates
+    the candidate union. One-sided error (never under-counts); exactness
+    at this vocab size is pytest-verified against the exact counts.
+    Rows-only driver check (approximate op).
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    from ..stages.sketch import CMS_D, CMS_W, cms_estimate, cms_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_cand = 4 * topk
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        t = df["text"].str.strip()
+        toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
+        ex = toks.explode().dropna()
+        occ = ex.value_counts(sort=False)
+        keys = np.asarray([zlib.crc32(w.encode("utf-8"))
+                           for w in occ.index], dtype=np.uint64)
+        cnts = occ.to_numpy(dtype=np.int64)
+        sk = cms_table(keys, cnts)
+        top = np.argsort(-cnts, kind="stable")[:n_cand]
+        return pa.table({
+            "sketch": pa.array([sk.tobytes()], pa.binary()),
+            "cand": pa.array([list(occ.index[top].astype(str))],
+                             pa.list_(pa.string())),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        cands: set[str] = set()
+        for blob, cl in zip(df["sketch"], df["cand"]):
+            total += np.frombuffer(blob, dtype=np.int64) \
+                .reshape(CMS_D, CMS_W)
+            cands.update(cl)
+        cand = sorted(cands)
+        keys = np.asarray([zlib.crc32(w.encode("utf-8")) for w in cand],
+                          dtype=np.uint64)
+        est = cms_estimate(total, keys)
+        order = np.lexsort((np.asarray(cand, dtype=object), -est))[:topk]
+        return pd.DataFrame({
+            "token": np.asarray(cand, dtype=object)[order],
+            "est_count": est[order].astype(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+
+
 def tfidf_top_terms_q(sf_dir: str, topk: int = 5):
     """Top-k distinctive tokens per source by an integer-exact tf/df
     score: score_ppm = floor(1e6 * tf_source / df_corpus).

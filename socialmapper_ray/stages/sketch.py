@@ -176,3 +176,57 @@ def bloom_of_dataset(ds, value_fn, m_bits: int = BLOOM_M_BITS,
     for blob in parts["bits"]:
         out |= np.frombuffer(blob, dtype=np.uint8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency sketch) + heavy hitters
+# ---------------------------------------------------------------------------
+#
+# Published foundation: Cormode & Muthukrishnan, "An improved data
+# stream summary: the count-min sketch and its applications" (J.
+# Algorithms 2005). d x w counter matrix; point estimate = min over
+# rows; one-sided error (never underestimates); merge = elementwise
+# add, so per-batch partials combine in any order / tree shape. This is
+# the scale path for corpus frequency questions when the VOCABULARY is
+# itself too large to shuffle (top_tokens moves one row per distinct
+# token per batch; the CMS moves a fixed d*w*8 bytes per batch).
+
+CMS_D = 4
+CMS_W = 1 << 14
+
+
+def _cms_rows(keys: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(n, d) column indices via splitmix64 double hashing."""
+    from ..sources.synth import splitmix64
+
+    v = np.asarray(keys, dtype=np.uint64)
+    h1 = splitmix64(v).astype(np.int64) & np.int64((1 << 62) - 1)
+    h2 = (splitmix64(v ^ np.uint64(0xD1B54A32D192ED03))
+          .astype(np.int64) & np.int64((1 << 62) - 1)) | np.int64(1)
+    i = np.arange(d, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.int64(w)
+
+
+def cms_table(keys: np.ndarray, counts: np.ndarray,
+              d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, w) int64 counter matrix for weighted keys (uint64)."""
+    t = np.zeros((d, w), dtype=np.int64)
+    if len(keys) == 0:
+        return t
+    cols = _cms_rows(keys, d, w)
+    c = np.asarray(counts, dtype=np.int64)
+    for r in range(d):
+        np.add.at(t[r], cols[:, r], c)
+    return t
+
+
+def cms_estimate(t: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates (int64, >= true count) for uint64 keys."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    d, w = t.shape
+    cols = _cms_rows(keys, d, w)
+    est = t[0][cols[:, 0]]
+    for r in range(1, d):
+        est = np.minimum(est, t[r][cols[:, r]])
+    return est

@@ -110,7 +110,7 @@ def test_multimodal_fake_decoder(ray_session):
 
 
 def test_real_decoder_raises():
-    with pytest.raises(NotImplementedError, match="decode libraries"):
+    with pytest.raises(NotImplementedError, match="codec libraries"):
         multimodal.RealDecoder()
 
 

@@ -117,3 +117,56 @@ def test_incremental_bloom_equals_plain(ray_session):
     bloom = tp.dedup_incremental_bloom_q(sf).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(plain, bloom)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_one_sided_and_exact_when_sparse():
+    from socialmapper_ray.stages.sketch import cms_estimate, cms_table
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 1 << 62, 3000).astype(np.uint64)
+    keys = np.unique(keys)
+    counts = rng.integers(1, 100, len(keys)).astype(np.int64)
+    t = cms_table(keys, counts)
+    est = cms_estimate(t, keys)
+    assert (est >= counts).all()                 # never under-counts
+    # 3k keys in 4 x 16384 counters: collisions are rare; the vast
+    # majority of estimates are exact
+    assert (est == counts).mean() > 0.95
+
+
+def test_cms_merge_is_add():
+    from socialmapper_ray.stages.sketch import cms_table
+
+    rng = np.random.default_rng(12)
+    ka = rng.integers(0, 1 << 62, 500).astype(np.uint64)
+    kb = rng.integers(0, 1 << 62, 500).astype(np.uint64)
+    ca = rng.integers(1, 10, 500).astype(np.int64)
+    cb = rng.integers(1, 10, 500).astype(np.int64)
+    merged = cms_table(np.concatenate([ka, kb]),
+                       np.concatenate([ca, cb]))
+    assert np.array_equal(merged, cms_table(ka, ca) + cms_table(kb, cb))
+
+
+def test_top_tokens_cms_matches_exact(ray_session):
+    import zlib  # noqa: F401  (parity with the query's hashing)
+
+    from socialmapper_ray.pipelines import textops as tp
+
+    sf = "/root/testdata/sf0.001"
+    got = tp.top_tokens_cms_q(sf, topk=20).to_pandas()
+    # exact counts straight from the parquet
+    import duckdb
+
+    exact = duckdb.sql(f"""
+        WITH t AS (SELECT unnest(regexp_split_to_array(trim(text),
+                   '\\s+')) AS token
+                   FROM read_parquet('{sf}/documents.parquet')
+                   WHERE trim(text) <> '')
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 20""").df()
+    assert list(got["token"]) == list(exact["token"])
+    assert list(got["est_count"]) == list(exact["n"])
