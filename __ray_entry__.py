@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": tp.doc_rarity_q,
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,
         "top_tokens_cms": tp.top_tokens_cms_q,
+        "funnel_counts": rel.funnel_counts,
     }
 
 
@@ -224,4 +225,5 @@ def oracle_sql() -> dict[str, str]:
         "events_p99_filter": rel.EVENTS_P99_SQL,
         "doc_rarity": tp.DOC_RARITY_SQL,
         "dedup_incremental_bloom": tp.DEDUP_INCREMENTAL_SQL,
+        "funnel_counts": rel.FUNNEL_SQL,
     }

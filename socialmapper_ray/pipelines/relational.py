@@ -1083,6 +1083,71 @@ WHERE s.v > thr.p99
 """
 
 
+def funnel_counts(sf_dir: str):
+    """Ordered-funnel analysis: users reaching view -> click (strictly
+    after their first view) -> purchase (strictly after that click).
+
+    The sessionize exchange shape: ONE user-hash-bucket groupby puts
+    each user's events in one kernel call; inside the bucket the three
+    stage times resolve with vectorized grouped min/joins (no per-user
+    python); each bucket emits 3 partial count rows and a tiny combine
+    sums them. Strict ts inequality (ties excluded) keeps the rule
+    deterministic and identical to the SQL.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_buckets = 32
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(("view", "click", "purchase")),
+                    ["user_id", "event_type", "ts"]].copy()
+        df["__bucket"] = (df["user_id"].to_numpy() * 2654435761
+                          % 2**31 % n_buckets).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = g.loc[g["event_type"] == "view"] \
+            .groupby("user_id")["ts"].min().rename("t1")
+        c = g.loc[g["event_type"] == "click"].join(v, on="user_id")
+        c = c.loc[c["ts"] > c["t1"]] \
+            .groupby("user_id")["ts"].min().rename("t2")
+        p = g.loc[g["event_type"] == "purchase"].join(c, on="user_id")
+        p = p.loc[p["ts"] > p["t2"]] \
+            .groupby("user_id")["ts"].min().rename("t3")
+        return pd.DataFrame({
+            "stage": ["view", "click", "purchase"],
+            "n": np.asarray([len(v), len(c), len(p)], dtype=np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("stage", sort=False)["n"].sum().reset_index()
+        return pd.DataFrame({"stage": g["stage"],
+                             "n_users": g["n"].astype(np.int64)})
+
+    return ds.map_batches(prep, batch_format="pandas") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+
+
+FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+v AS (SELECT user_id, min(ts) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
 def events_props_extract(sf_dir: str):
     """JSON field extraction (§2.8 json flavour over the events side
     channel): pull ``k`` out of the ``props`` JSON string with a

@@ -94,6 +94,9 @@ def kmeans_fit_distributed(make_ds, k: int = 10, iters: int = 8) -> np.ndarray:
     therefore the result — independent of float summation noise.
     """
     c = _normalize(_init_centroids(make_ds(), k))
+    # fewer rows than requested clusters: fit what exists (c's row
+    # count, not the request, drives every downstream shape)
+    k = c.shape[0]
     d = c.shape[1]
     for _ in range(iters):
         ref = ray.put(c)

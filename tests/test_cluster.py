@@ -155,3 +155,41 @@ def test_doc_shingles_semantics():
     assert doc_shingles("a b", 3) == []                    # too short
     assert doc_shingles("  a  b   c ", 2) == ["a b", "b c"]  # ws collapse
     assert doc_shingles("", 2) == []
+
+
+def test_kmeans_k_exceeds_rows(ray_session):
+    """k > n must still fit: dead centroids stay at their seed."""
+    import ray.data as rd
+
+    from socialmapper_ray.stages import cluster as cl
+
+    n, d = 3, 4
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([np.eye(d)[i % d] for i in range(n)],
+                              pa.list_(pa.float64()))})
+    cents = cl.kmeans_fit_distributed(lambda: rd.from_arrow(t),
+                                      k=5, iters=2)
+    assert cents.shape == (3, d)   # clamped to the row count
+    # assignment still covers every row
+    out = cl.assign_clusters(rd.from_arrow(t), cents).to_pandas()
+    assert len(out) == n
+
+
+def test_dup_shingles_short_docs_excluded(ray_session):
+    """Docs with < k tokens produce no shingles and no output row
+    (mirrors the SQL's len(ts) >= k filter)."""
+    import duckdb
+
+    from socialmapper_ray.pipelines import textops as tp
+
+    sf = "/root/testdata/sf0.001"
+    out = tp.dup_shingles_q(sf).to_pandas()
+    short = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{sf}/documents.parquet')
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) < 5
+           OR trim(text) = ''""").fetchone()[0]
+    total = duckdb.sql(f"""
+        SELECT count(*) FROM
+        read_parquet('{sf}/documents.parquet')""").fetchone()[0]
+    assert len(out) == total - short
