@@ -562,10 +562,13 @@ def order_lineitem_join(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    import pyarrow as pa
+
     joined = hash_join(
         orders, li, left_on="o_orderkey", right_on="l_orderkey",
         left_cols=["o_orderkey", "o_orderpriority"],
-        right_cols=["l_orderkey", "l_quantity"])
+        right_cols=["l_orderkey", "l_quantity"],
+        pad_types={"o_orderpriority": pa.string()})
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(q=df["l_quantity"].round().astype(np.int64))

@@ -967,7 +967,10 @@ def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def explode(df: pd.DataFrame) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
+        # declared-pyarrow: a pandas-declared stage fused into the
+        # shuffle map phase pays ~10x (see exact_dedup docstring)
+        df = batch.to_pandas()
         doc_ids: list[int] = []
         shingles: list[str] = []
         for did, t in zip(df["doc_id"], df["text"]):
@@ -1001,7 +1004,7 @@ def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
             "n": pa.array(p["n"].to_numpy(dtype=np.int64)),
             "d": pa.array(p["d"].to_numpy(dtype=np.int64))})
 
-    flags = ds.map_batches(explode, batch_format="pandas") \
+    flags = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     agg = flags.groupby("doc_id").aggregate(
         Sum("n", alias_name="n_shingles"), Sum("d", alias_name="n_dup"))
@@ -1056,7 +1059,8 @@ def top_tokens_q(sf_dir: str, topk: int = 50):
 
     import pyarrow as pa
 
-    def partial(df: pd.DataFrame) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
         t = df["text"].str.strip()
         toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
         ex = pd.DataFrame({"row": df.index, "token": toks}) \
@@ -1064,15 +1068,16 @@ def top_tokens_q(sf_dir: str, topk: int = 50):
         occ = ex["token"].value_counts(sort=False)
         docs = ex.drop_duplicates(["row", "token"])["token"] \
             .value_counts(sort=False)
-        # arrow out: Ray's sort-aggregate is vectorized on Arrow blocks,
-        # per-group python on pandas blocks (18x on this box)
+        # declared-pyarrow in AND out: the sort-aggregate is vectorized
+        # on Arrow blocks (18x) and a pandas-DECLARED stage fused into
+        # the shuffle map phase pays another ~10x (see exact_dedup)
         return pa.table({
             "token": pa.array(occ.index.astype(str), pa.string()),
             "occ": pa.array(occ.to_numpy(dtype=np.int64)),
             "docs": pa.array(docs.reindex(occ.index)
                              .to_numpy(dtype=np.int64))})
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("token").aggregate(Sum("occ", alias_name="n_occ"),
                                     Sum("docs", alias_name="n_docs"))
     top = agg.sort(["n_occ", "token"], descending=[True, False]).limit(topk)
@@ -1168,7 +1173,8 @@ def tfidf_top_terms_q(sf_dir: str, topk: int = 5):
 
     import pyarrow as pa
 
-    def partial(df: pd.DataFrame) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
         t = df["text"].str.strip()
         toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
         ex = pd.DataFrame({
@@ -1184,7 +1190,7 @@ def tfidf_top_terms_q(sf_dir: str, topk: int = 5):
             "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
             "nd": pa.array(g["nd"].to_numpy(dtype=np.int64))})
 
-    per_st = ds.map_batches(partial, batch_format="pandas") \
+    per_st = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["source", "token"]).aggregate(
             Sum("tf", alias_name="tf"), Sum("nd", alias_name="nd"))
 
@@ -1275,9 +1281,10 @@ def doc_rarity_q(sf_dir: str, n_buckets: int = 32):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def explode(df: pd.DataFrame) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         import zlib
 
+        df = batch.to_pandas()
         t = df["text"].str.strip()
         toks = t.where(t.str.len() > 0).str.split(tx._WS_RE)
         ex = pd.DataFrame({"doc_id": df["doc_id"], "token": toks}) \
@@ -1307,7 +1314,7 @@ def doc_rarity_q(sf_dir: str, n_buckets: int = 32):
             "ntok": pa.array(p["ntok"].to_numpy(dtype=np.int64)),
             "sdf": pa.array(p["sdf"].to_numpy(dtype=np.int64))})
 
-    agg = ds.map_batches(explode, batch_format="pandas") \
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
         .groupby("doc_id").aggregate(Sum("ntok", alias_name="n_tokens"),
                                      Sum("sdf", alias_name="sum_df"))

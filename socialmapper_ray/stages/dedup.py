@@ -34,6 +34,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data.aggregate import Count, Min, Sum
 
@@ -73,21 +74,24 @@ def add_text_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """-> (text_hash, keep_id, n_dupes): hash-partitioned exact dedup.
 
-    The hashing stage emits ARROW blocks: Ray's sort-aggregate takes a
-    vectorized path on Arrow blocks but a per-group python path on
-    pandas blocks — measured 49 s vs 2.6 s for a 250k-row/5k-group
-    string-keyed aggregate on this box, so the block format of the
-    aggregate's INPUT is the whole ballgame at scale.
+    The hashing stage both DECLARES pyarrow batches and emits Arrow:
+    Ray's sort-aggregate takes a vectorized path on Arrow blocks but a
+    per-group python path on pandas blocks (measured 49 s vs 2.6 s for
+    a 250k-row/5k-group string-keyed aggregate), and a stage *declared*
+    ``batch_format="pandas"`` that is fused into the shuffle's map
+    phase pays a further ~10x (22-26 s vs 2.7 s streaming at 960k rows
+    — measured r3) even when it RETURNS Arrow. The pandas hop the
+    kernel needs happens inside the UDF instead.
     """
     import pyarrow as pa
 
-    def hashed_arrow(b: pd.DataFrame) -> "pa.Table":
-        out = add_text_hash(b, text_col)
+    def hashed_arrow(b: "pa.Table") -> "pa.Table":
+        out = add_text_hash(b.to_pandas(), text_col)
         return pa.table({
             "text_hash": pa.array(out["text_hash"], pa.string()),
             id_col: pa.array(out[id_col].to_numpy())})
 
-    hashed = ds.map_batches(hashed_arrow, batch_format="pandas")
+    hashed = ds.map_batches(hashed_arrow, batch_format="pyarrow")
     return hashed.groupby("text_hash").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_dupes"))
 
@@ -106,15 +110,15 @@ def exact_dedup_salted(ds, id_col: str = "doc_id", text_col: str = "text",
     import numpy as np
     import pyarrow as pa
 
-    def hash_and_salt(b: pd.DataFrame) -> "pa.Table":
-        out = add_text_hash(b, text_col)
+    def hash_and_salt(b: "pa.Table") -> "pa.Table":
+        out = add_text_hash(b.to_pandas(), text_col)
         return pa.table({
             "text_hash": pa.array(out["text_hash"], pa.string()),
             id_col: pa.array(out[id_col].to_numpy()),
             "salt": pa.array((out[id_col].to_numpy() % salt_buckets)
                              .astype(np.int64))})
 
-    salted = ds.map_batches(hash_and_salt, batch_format="pandas")
+    salted = ds.map_batches(hash_and_salt, batch_format="pyarrow")
     per_salt = salted.groupby(["text_hash", "salt"]).aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n"))
     return per_salt.groupby("text_hash").aggregate(
@@ -325,13 +329,17 @@ def combine_pair_partials(partials, agg: dict, n_buckets: int = 16):
     """
     cols = list(agg)
 
-    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+    def bucketed(t) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        df = t.to_pandas()
         if df.empty:
-            return df.assign(__cb=np.empty(0, np.int64))
-        out = df.copy()
-        out["__cb"] = _pair_bucket_col(out["a"].to_numpy(),
-                                       out["b"].to_numpy(), n_buckets)
-        return out
+            return pa.table({c: pa.array(np.empty(0, np.int64))
+                             for c in ["a", "b", *cols, "__cb"]})
+        return pa.table({
+            **{c: pa.array(df[c].to_numpy()) for c in ["a", "b", *cols]},
+            "__cb": pa.array(_pair_bucket_col(
+                df["a"].to_numpy(), df["b"].to_numpy(), n_buckets))})
 
     def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["a", "b"], sort=False)[cols].agg(agg).reset_index()
@@ -339,7 +347,7 @@ def combine_pair_partials(partials, agg: dict, n_buckets: int = 16):
             out[c] = out[c].astype(np.int64)
         return out
 
-    return partials.map_batches(bucketed, batch_format="pandas") \
+    return partials.map_batches(bucketed, batch_format="pyarrow") \
         .groupby("__cb").map_groups(combine_bucket, batch_format="pandas")
 
 
@@ -361,14 +369,21 @@ def candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     import ray.data as rd
 
-    def band_rows_bucketed(b: pd.DataFrame) -> pd.DataFrame:
-        out = lsh_band_rows(b, id_col, text_col)
-        out["__bucket"] = _bucket_of_u64(
-            out["band_hash"].to_numpy(), out["band_id"].to_numpy(),
-            n_buckets)
-        return out
+    def band_rows_bucketed(b) -> "pd.DataFrame":
+        import pyarrow as pa
 
-    bands = ds.map_batches(band_rows_bucketed, batch_format="pandas")
+        out = lsh_band_rows(b.to_pandas(), id_col, text_col)
+        # declared-pyarrow + arrow out: a pandas-DECLARED stage fused
+        # into the shuffle map phase pays ~10x (exact_dedup docstring)
+        return pa.table({
+            "band_id": pa.array(out["band_id"].to_numpy()),
+            "band_hash": pa.array(out["band_hash"].to_numpy()),
+            id_col: pa.array(out[id_col].to_numpy()),
+            "__bucket": pa.array(_bucket_of_u64(
+                out["band_hash"].to_numpy(), out["band_id"].to_numpy(),
+                n_buckets))})
+
+    bands = ds.map_batches(band_rows_bucketed, batch_format="pyarrow")
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
         a, b = _pairs_from_sorted_groups(
@@ -445,24 +460,27 @@ def candidate_feature_ds(ds, cand_ids_ref, feature: str = "shingles",
     feat_fn = (shingle_hashes if feature == "shingles"
                else _char_ngram_indices)
 
-    def features(df: pd.DataFrame) -> pd.DataFrame:
+    def features(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+
         keep = ray.get(cand_ids_ref)
-        ids = df[id_col].to_numpy()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keep, ids)
         pos = np.minimum(pos, max(len(keep) - 1, 0))
         sel = (keep[pos] == ids) if len(keep) else \
             np.zeros(len(ids), dtype=bool)
-        sub = df[sel]
+        texts = batch[text_col].take(
+            pa.array(np.flatnonzero(sel))).to_pylist()
         # serialize each sorted-unique feature set to LE-uint64 bytes:
         # a binary Arrow column travels the shuffle zero-copy, where a
         # ragged ndarray column would trip the tensor-extension path
-        return pd.DataFrame({
-            id_col: sub[id_col].to_numpy(),
-            "feat": [feat_fn(t).astype(np.uint64).tobytes()
-                     for t in sub[text_col]],
+        return pa.table({
+            id_col: pa.array(ids[sel]),
+            "feat": pa.array([feat_fn(t).astype(np.uint64).tobytes()
+                              for t in texts], pa.binary()),
         })
 
-    return ds.map_batches(features, batch_format="pandas", num_cpus=0.5)
+    return ds.map_batches(features, batch_format="pyarrow", num_cpus=0.5)
 
 
 def distinct_pairs(cands, n_buckets: int = 16):
@@ -471,15 +489,16 @@ def distinct_pairs(cands, n_buckets: int = 16):
     lands in one bucket, so per-bucket dedup is global dedup). Extra
     columns are dropped; output is (a, b) int64."""
 
-    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "a": df["a"].to_numpy().astype(np.int64),
-            "b": df["b"].to_numpy().astype(np.int64)})
-        out["__cb"] = _pair_bucket_col(out["a"].to_numpy(),
-                                       out["b"].to_numpy(), n_buckets)
-        return out
+    def bucketed(t) -> "pd.DataFrame":
+        import pyarrow as pa
 
-    return cands.map_batches(bucketed, batch_format="pandas") \
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "__cb": pa.array(_pair_bucket_col(a, b,
+                                                           n_buckets))})
+
+    return cands.map_batches(bucketed, batch_format="pyarrow") \
         .groupby("__cb").map_groups(
             lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
             batch_format="pandas")
@@ -494,12 +513,15 @@ def distinct_member_ids(members, id_col: str = "doc_id",
     list it came from (strictly smaller: ids <= 2 x pairs, and on
     dup-heavy corpora orders of magnitude smaller)."""
 
-    def batch_unique(df: pd.DataFrame) -> pd.DataFrame:
-        u = np.unique(df[id_col].to_numpy().astype(np.int64))
-        return pd.DataFrame({id_col: u,
-                             "__ib": u % np.int64(n_buckets)})
+    def batch_unique(t) -> "pd.DataFrame":
+        import pyarrow as pa
 
-    uniq = members.map_batches(batch_unique, batch_format="pandas") \
+        u = np.unique(t[id_col].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({id_col: pa.array(u),
+                         "__ib": pa.array(u % np.int64(n_buckets))})
+
+    uniq = members.map_batches(batch_unique, batch_format="pyarrow") \
         .groupby("__ib").map_groups(
             lambda g: g.drop_duplicates(id_col)[[id_col]],
             batch_format="pandas").to_pandas()
@@ -554,41 +576,42 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
     # whole LSH band scan would execute twice
     cands = cands.materialize()
 
-    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: np.concatenate([
-            df["a"].to_numpy().astype(np.int64),
-            df["b"].to_numpy().astype(np.int64)])})
+    def member_rows(t) -> "pd.DataFrame":
+        return pa.table({id_col: pa.array(np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["b"].to_numpy(zero_copy_only=False).astype(np.int64)]))})
 
     # member-id distinct off the RAW candidate rows (same distinct set
     # as off the deduped pairs — dedup only drops repeats), so the
     # feature scan starts without waiting on the pair-distinct exchange
     ids_ref = ray.put(distinct_member_ids(
-        cands.map_batches(member_rows, batch_format="pandas"), id_col))
+        cands.map_batches(member_rows, batch_format="pyarrow"), id_col))
     feats = candidate_feature_ds(ds, ids_ref, feature, id_col, text_col)
 
     pairs = distinct_pairs(cands, n_buckets=max(n_buckets, 16))
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy().astype(np.int64)
-        b = df["b"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "a": np.concatenate([a, a]),
-            "b": np.concatenate([b, b]),
-            id_col: np.concatenate([a, b]),
+    def explode(t) -> "pd.DataFrame":
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+            id_col: pa.array(np.concatenate([a, b])),
         })
 
-    members = pairs.map_batches(explode, batch_format="pandas")
+    members = pairs.map_batches(explode, batch_format="pyarrow")
 
     joined = hash_join(
         members, feats, left_on=id_col, right_on=id_col,
         left_cols=["a", "b", id_col], right_cols=[id_col, "feat"],
-        n_buckets=n_buckets, int_fill_cols=("a", "b"))
+        n_buckets=n_buckets, int_fill_cols=("a", "b"),
+        pad_types={"feat": pa.binary()})
 
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__pb"] = _pair_bucket_col(df["a"].to_numpy(),
-                                      df["b"].to_numpy(), n_buckets)
-        return df
+    def add_pair_bucket(t) -> "pd.DataFrame":
+        a = t["a"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__pb", pa.array(_pair_bucket_col(
+                a, t["b"].to_numpy(zero_copy_only=False), n_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # a dirty corpus with duplicate doc_id rows yields one feat row
@@ -628,7 +651,7 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
                              "b": np.asarray(out_b, np.int64),
                              "jaccard": np.asarray(out_j, np.float64)})
 
-    return joined.map_batches(add_pair_bucket, batch_format="pandas") \
+    return joined.map_batches(add_pair_bucket, batch_format="pyarrow") \
         .groupby("__pb").map_groups(per_bucket, batch_format="pandas")
 
 

@@ -38,7 +38,7 @@ INT_FILL = np.int64(np.iinfo(np.int64).min)
 def hash_join(left_ds, right_ds, left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],
               n_buckets: int = 16, how: str = "inner",
-              int_fill_cols: tuple = ()):
+              int_fill_cols: tuple = (), pad_types: dict | None = None):
     """Partitioned hash join of two Datasets on int64 keys.
 
     left_cols / right_cols: the output columns contributed by each side
@@ -54,35 +54,44 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
     100 TB doc-id shape). For ``how="left"`` those columns arrive as
     pandas nullable Int64 in the output (pd.NA where unmatched) —
     exact at full 64-bit width.
+
+    ``pad_types``: Arrow types for non-int pad columns (e.g.
+    ``{"feat": pa.binary()}``); Arrow unions need the missing side's
+    null column typed like the owning side (default float64).
     """
+    import pyarrow as pa
+
     all_cols = list(dict.fromkeys(left_cols + right_cols))
+    pad_types = pad_types or {}
 
     def prep(side: str, cols: list[str], key: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            n = len(df)
-            out = {}
+        def fn(batch: "pa.Table") -> "pa.Table":
+            # declared-pyarrow in AND out: a pandas-DECLARED stage fused
+            # into the shuffle's map phase pays ~10x (dedup.exact_dedup
+            # notes); pads are typed Arrow nulls, never read downstream
+            # (join_bucket selects side-specific columns)
+            n = batch.num_rows
+            arrs = {}
             for c in all_cols:
                 if c in cols:
-                    out[c] = df[c].reset_index(drop=True)
+                    col = batch[c]
+                    arrs[c] = col.combine_chunks() \
+                        if isinstance(col, pa.ChunkedArray) else col
                 elif c in int_fill_cols:
-                    out[c] = pd.Series(np.full(n, INT_FILL), dtype=np.int64)
+                    arrs[c] = pa.array(np.full(n, INT_FILL))
                 else:
-                    # typed NA fill: an all-pd.NA object column makes the
-                    # two sides' block schemas disagree (object vs int64),
-                    # which Ray logs per bundle and shuffles as pickled
-                    # python objects; a float64-NaN column unifies cleanly
-                    out[c] = pd.Series(np.full(n, np.nan), dtype=np.float64)
-            out = pd.DataFrame(out)
-            out["__bucket"] = _bucket_of(df[key].to_numpy(), n_buckets)
-            out["__side"] = side
-            return out
+                    arrs[c] = pa.nulls(n, pad_types.get(c, pa.float64()))
+            arrs["__bucket"] = pa.array(_bucket_of(
+                batch[key].to_numpy(zero_copy_only=False), n_buckets))
+            arrs["__side"] = pa.array([side] * n, pa.string())
+            return pa.table(arrs)
 
         return fn
 
     lt = left_ds.map_batches(prep("l", left_cols, left_on),
-                             batch_format="pandas")
+                             batch_format="pyarrow")
     rt = right_ds.map_batches(prep("r", right_cols, right_on),
-                              batch_format="pandas")
+                              batch_format="pyarrow")
     both = lt.union(rt)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
