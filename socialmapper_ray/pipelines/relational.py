@@ -206,20 +206,29 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
         def __init__(self, ref):
             self.keys = ray.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, batch) -> "pd.DataFrame":
+            # declared-pyarrow: a pandas-declared stage fused into the
+            # shuffle map phase pays ~10x (dedup.exact_dedup notes)
+            import pyarrow as pa
+
+            df = batch.to_pandas()
             m = ((df["o_orderdate"] < cut)
                  & np.isin(df["o_custkey"].to_numpy(), self.keys))
             sub = df[m]
             okey = sub["o_orderkey"].to_numpy()
-            return pd.DataFrame({
-                "key": okey,
-                "o_orderdate": sub["o_orderdate"].to_numpy(),
-                "rev": np.zeros(len(sub), dtype=np.int64),
-                "__bucket": bucket_of(okey),
-                "__side": "o",
+            return pa.table({
+                "key": pa.array(okey),
+                "o_orderdate": pa.array(sub["o_orderdate"]
+                                        .to_numpy().astype("datetime64[us]")),
+                "rev": pa.array(np.zeros(len(sub), dtype=np.int64)),
+                "__bucket": pa.array(bucket_of(okey)),
+                "__side": pa.array(["o"] * len(sub), pa.string()),
             })
 
-    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def li_partial(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        df = batch.to_pandas()
         df = df[df["l_shipdate"] > cut]
         # exact int64 1e-4 units (see q1 note on decimal quantization)
         rev = (df["l_extendedprice"] * (1 - df["l_discount"]) * 10000) \
@@ -227,15 +236,18 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
         part = pd.DataFrame({"key": df["l_orderkey"].to_numpy(),
                              "rev": rev.to_numpy()}) \
             .groupby("key", sort=False)["rev"].sum().reset_index()
-        part["o_orderdate"] = pd.NaT
-        part["__bucket"] = bucket_of(part["key"].to_numpy())
-        part["__side"] = "l"
-        return part[["key", "o_orderdate", "rev", "__bucket", "__side"]]
+        n = len(part)
+        return pa.table({
+            "key": pa.array(part["key"].to_numpy()),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "rev": pa.array(part["rev"].to_numpy(dtype=np.int64)),
+            "__bucket": pa.array(bucket_of(part["key"].to_numpy())),
+            "__side": pa.array(["l"] * n, pa.string())})
 
     ot = orders.map_batches(FilterOrders, fn_constructor_args=(keys_ref,),
-                            batch_format="pandas", concurrency=2,
+                            batch_format="pyarrow", concurrency=2,
                             num_cpus=0.5)
-    lt = li.map_batches(li_partial, batch_format="pandas")
+    lt = li.map_batches(li_partial, batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["__side"] == "o"]
@@ -347,9 +359,13 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 16):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+    def add_bucket(t) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        # pure-arrow, declared-pyarrow: pandas-declared stages fused
+        # into the shuffle map phase pay ~10x (dedup.exact_dedup notes)
+        return t.append_column("__ub", pa.array(_bucket_of(
+            t["user_id"].to_numpy(zero_copy_only=False), n_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="stable")
@@ -371,7 +387,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 16):
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
 
 
@@ -780,12 +796,16 @@ def asof_purchase(sf_dir: str):
     ds = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "event_type", "value"])
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["event_type"].isin(["click", "purchase"])
-        df = df.loc[m, ["event_id", "user_id", "ts",
-                        "event_type", "value"]].copy()
-        df["__bucket"] = _bucket_of(df["user_id"].to_numpy(), n_buckets)
-        return df
+    def prep(t) -> "pd.DataFrame":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        sub = t.filter(m).select(
+            ["event_id", "user_id", "ts", "event_type", "value"])
+        return sub.append_column("__bucket", pa.array(_bucket_of(
+            sub["user_id"].to_numpy(zero_copy_only=False), n_buckets)))
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g.loc[g["event_type"] == "click",
@@ -814,7 +834,7 @@ def asof_purchase(sf_dir: str):
             "purchase_value": m["value"].round(6),
         })
 
-    return ds.map_batches(prep, batch_format="pandas") \
+    return ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
@@ -846,26 +866,33 @@ def orders_without_lineitem(sf_dir: str):
                    ["o_orderkey", "o_custkey", "o_totalprice"])
     line = _read(sf_dir, "lineitem", ["l_orderkey"])
 
-    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "key": df["o_orderkey"].astype(np.int64),
-            "o_custkey": df["o_custkey"].astype(np.float64),
-            "o_totalprice_e2": (df["o_totalprice"] * 100).round(),
-            "probe": np.zeros(len(df), dtype=np.int64),
-        })
-        out["__bucket"] = _bucket_of(out["key"].to_numpy(), n_buckets)
-        return out
+    def prep_orders(t) -> "pd.DataFrame":
+        import pyarrow as pa
 
-    def prep_line(df: pd.DataFrame) -> pd.DataFrame:
-        keys = np.unique(df["l_orderkey"].to_numpy(np.int64))
-        out = pd.DataFrame({
-            "key": keys,
-            "o_custkey": np.full(len(keys), np.nan),
-            "o_totalprice_e2": np.full(len(keys), np.nan),
-            "probe": np.ones(len(keys), dtype=np.int64),
-        })
-        out["__bucket"] = _bucket_of(keys, n_buckets)
-        return out
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "o_custkey": pa.array(t["o_custkey"]
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.float64)),
+            "o_totalprice_e2": pa.array(
+                np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100)),
+            "probe": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "__bucket": pa.array(_bucket_of(key, n_buckets))})
+
+    def prep_line(t) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        keys = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        return pa.table({
+            "key": pa.array(keys),
+            "o_custkey": pa.nulls(len(keys), pa.float64()),
+            "o_totalprice_e2": pa.nulls(len(keys), pa.float64()),
+            "probe": pa.array(np.ones(len(keys), dtype=np.int64)),
+            "__bucket": pa.array(_bucket_of(keys, n_buckets))})
 
     def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
         probe = g.loc[g["probe"] == 1, "key"].to_numpy()
@@ -877,8 +904,8 @@ def orders_without_lineitem(sf_dir: str):
             "o_totalprice_e2": keep["o_totalprice_e2"].astype(np.int64),
         })
 
-    return orders.map_batches(prep_orders, batch_format="pandas") \
-        .union(line.map_batches(prep_line, batch_format="pandas")) \
+    return orders.map_batches(prep_orders, batch_format="pyarrow") \
+        .union(line.map_batches(prep_line, batch_format="pyarrow")) \
         .groupby("__bucket").map_groups(anti_bucket, batch_format="pandas")
 
 
@@ -934,9 +961,13 @@ def user_running_total(sf_dir: str, n_buckets: int = 16):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+    def add_bucket(t) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        # pure-arrow, declared-pyarrow: pandas-declared stages fused
+        # into the shuffle map phase pay ~10x (dedup.exact_dedup notes)
+        return t.append_column("__ub", pa.array(_bucket_of(
+            t["user_id"].to_numpy(zero_copy_only=False), n_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="stable")
@@ -949,7 +980,7 @@ def user_running_total(sf_dir: str, n_buckets: int = 16):
             "cum_value_e4": cum.astype(np.int64),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
 
 
@@ -1100,12 +1131,19 @@ def funnel_counts(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
     n_buckets = 32
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
+    def prep(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        df = batch.to_pandas()
         df = df.loc[df["event_type"].isin(("view", "click", "purchase")),
-                    ["user_id", "event_type", "ts"]].copy()
-        df["__bucket"] = (df["user_id"].to_numpy() * 2654435761
-                          % 2**31 % n_buckets).astype(np.int64)
-        return df
+                    ["user_id", "event_type", "ts"]]
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy()),
+            "event_type": pa.array(df["event_type"].astype(str),
+                                   pa.string()),
+            "ts": pa.array(df["ts"].to_numpy().astype("datetime64[us]")),
+            "__bucket": pa.array((df["user_id"].to_numpy() * 2654435761
+                                  % 2**31 % n_buckets).astype(np.int64))})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         v = g.loc[g["event_type"] == "view"] \
@@ -1125,7 +1163,7 @@ def funnel_counts(sf_dir: str):
         return pd.DataFrame({"stage": g["stage"],
                              "n_users": g["n"].astype(np.int64)})
 
-    return ds.map_batches(prep, batch_format="pandas") \
+    return ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas") \
         .repartition(1) \
         .map_batches(combine, batch_format="pandas", batch_size=None)
@@ -1219,9 +1257,13 @@ def user_rolling_sum(sf_dir: str, window: int = 3, n_buckets: int = 16):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+    def add_bucket(t) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        # pure-arrow, declared-pyarrow: pandas-declared stages fused
+        # into the shuffle map phase pay ~10x (dedup.exact_dedup notes)
+        return t.append_column("__ub", pa.array(_bucket_of(
+            t["user_id"].to_numpy(zero_copy_only=False), n_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="stable")
@@ -1236,7 +1278,7 @@ def user_rolling_sum(sf_dir: str, window: int = 3, n_buckets: int = 16):
             "roll_sum_e4": roll.astype(np.int64).to_numpy(),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
 
 
@@ -1256,9 +1298,13 @@ def user_event_gaps(sf_dir: str, n_buckets: int = 16):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            __ub=_bucket_of(df["user_id"].to_numpy(), n_buckets))
+    def add_bucket(t) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        # pure-arrow, declared-pyarrow: pandas-declared stages fused
+        # into the shuffle map phase pay ~10x (dedup.exact_dedup notes)
+        return t.append_column("__ub", pa.array(_bucket_of(
+            t["user_id"].to_numpy(zero_copy_only=False), n_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="stable")
@@ -1276,7 +1322,7 @@ def user_event_gaps(sf_dir: str, n_buckets: int = 16):
             "gap_us": gap[keep],
         })
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__ub").map_groups(per_bucket, batch_format="pandas")
 
 

@@ -704,17 +704,23 @@ def dedup_incremental_q(sf_dir: str, split_id: int = 250):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_buckets = 16
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        out = add_text_hash(df)[["doc_id", "text_hash"]]
+    def prep(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        out = add_text_hash(batch.to_pandas())[["doc_id", "text_hash"]]
         out["is_new"] = (out["doc_id"] >= split_id).astype(np.int64)
         # old side: only distinct hashes per batch need to travel
         old = out.loc[out["is_new"] == 0].drop_duplicates("text_hash")
         new = out.loc[out["is_new"] == 1]
         out = pd.concat([old, new], ignore_index=True)
-        out["__bucket"] = pd.util.hash_array(
+        bucket = pd.util.hash_array(
             out["text_hash"].to_numpy(dtype=object)) \
             .astype(np.int64) % np.int64(n_buckets)
-        return out
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+            "text_hash": pa.array(out["text_hash"], pa.string()),
+            "is_new": pa.array(out["is_new"].to_numpy(dtype=np.int64)),
+            "__bucket": pa.array(bucket)})
 
     def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
         seen = set(g.loc[g["is_new"] == 0, "text_hash"])
@@ -727,7 +733,7 @@ def dedup_incremental_q(sf_dir: str, split_id: int = 250):
             "text_hash": keep["text_hash"],
         })
 
-    return ds.map_batches(prep, batch_format="pandas") \
+    return ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(anti_bucket,
                                         batch_format="pandas")
 
@@ -803,12 +809,18 @@ def dedup_incremental_bloom_q(sf_dir: str, split_id: int = 250):
         .union(read_side(False).map_batches(prep_old,
                                             batch_format="pandas"))
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = pd.util.hash_array(
+    def bucketize(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        df = batch.to_pandas()
+        bucket = pd.util.hash_array(
             df["text_hash"].to_numpy(dtype=object)) \
             .astype(np.int64) % np.int64(n_buckets)
-        return df
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "text_hash": pa.array(df["text_hash"], pa.string()),
+            "is_new": pa.array(df["is_new"].to_numpy(dtype=np.int64)),
+            "__bucket": pa.array(bucket)})
 
     def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
         seen = set(g.loc[g["is_new"] == 0, "text_hash"])
@@ -819,7 +831,7 @@ def dedup_incremental_bloom_q(sf_dir: str, split_id: int = 250):
             "doc_id": keep["doc_id"].astype(np.int64),
             "text_hash": keep["text_hash"]})
 
-    return both.map_batches(bucketize, batch_format="pandas") \
+    return both.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(anti_bucket, batch_format="pandas")
 
 
