@@ -250,6 +250,10 @@ def embedding_neardup_q(sf_dir: str, threshold: float = 0.35):
 
             from ..stages.ann import _emb_matrix, _normalize
 
+            if batch.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "cos_r": pa.array([], pa.int64())})
             x = _normalize(_emb_matrix(batch))
             bid = batch["vec_id"].to_numpy(zero_copy_only=False)
             s = x @ self.m.T

@@ -26,8 +26,12 @@ def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
         else batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        # reshape(0, -1) raises on size-0 input; a (0, 0) matrix lets
+        # callers detect the empty block (every stage guards n == 0)
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -49,6 +53,10 @@ class PartialTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         x = _normalize(_emb_matrix(batch, self.emb_col))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = x @ self.qm.T                       # (n, n_q)
@@ -160,6 +168,10 @@ class IVFPartialTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         x = _normalize(_emb_matrix(batch, self.emb_col))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         cell = np.argmax(x @ self.centroids.T, axis=1)
@@ -295,6 +307,10 @@ class LSHPartialTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         x = _normalize(_emb_matrix(batch, self.emb_col))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         xb = bucket_of(x, self.planes)
@@ -360,6 +376,11 @@ def ann_topk_ivf_partitioned(emb_ds, queries_ref, centroids_ref,
             self.probed_cells[np.unique(order.ravel())] = True
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                    "cell": pa.array([], pa.int64())})
             x = _normalize(_emb_matrix(batch, "embedding"))
             cell = np.argmax(x @ self.centroids.T, axis=1)
             keep = self.probed_cells[cell]   # prune BEFORE the shuffle

@@ -42,6 +42,10 @@ def _seed_partial(batch: pa.Table, k: int) -> pa.Table:
     """Per-batch candidate seeds: the k locally smallest splitmix64(id)."""
     from ..sources.synth import splitmix64
 
+    if batch.num_rows == 0:
+        return pa.table({"hash": pa.array([], pa.uint64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "emb": pa.array([], pa.list_(pa.float64()))})
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     h = splitmix64(ids.astype(np.uint64))
     take = np.argsort(h, kind="stable")[:k]
@@ -70,9 +74,14 @@ def _stats_partial(batch: pa.Table, cents_ref) -> pa.Table:
     """One row per batch: flattened per-cluster sum matrix + counts."""
     c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) \
         else cents_ref
+    k, d = c.shape
+    if batch.num_rows == 0:
+        return pa.table({
+            "sums": pa.array([np.zeros(k * d)], pa.list_(pa.float64())),
+            "counts": pa.array([np.zeros(k, dtype=np.int64)],
+                               pa.list_(pa.int64()))})
     x = _normalize(_emb_matrix(batch))
     assign = np.argmax(x @ c.T, axis=1)
-    k, d = c.shape
     sums = np.zeros((k, d), dtype=np.float64)
     counts = np.zeros(k, dtype=np.int64)
     np.add.at(sums, assign, x)
@@ -129,6 +138,12 @@ def assign_clusters(ds, centroids: np.ndarray, keep_embedding: bool = False):
 
     def fn(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
+        if batch.num_rows == 0:
+            cols = {"vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64())}
+            if keep_embedding:
+                cols["embedding"] = pa.array([], pa.list_(pa.float64()))
+            return pa.table(cols)
         x = _normalize(_emb_matrix(batch))
         assign = np.argmax(x @ c.T, axis=1).astype(np.int64)
         cols = {

@@ -193,3 +193,34 @@ def test_dup_shingles_short_docs_excluded(ray_session):
         SELECT count(*) FROM
         read_parquet('{sf}/documents.parquet')""").fetchone()[0]
     assert len(out) == total - short
+
+
+def test_embedding_stages_tolerate_empty_blocks(ray_session):
+    """A filter that empties some blocks must not crash any embedding
+    stage (reshape(0, -1) raised before the r3 guard)."""
+    import ray.data as rd
+
+    from socialmapper_ray.stages import cluster as cl
+    from socialmapper_ray.stages.ann import PartialTopK, final_topk
+    from socialmapper_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(EMB, columns=["vec_id", "embedding"],
+                            override_num_blocks=8) \
+        .filter(expr="vec_id < 40")     # most blocks become empty
+    cents = cl.kmeans_fit_distributed(
+        lambda: read_parquet_clean(EMB, columns=["vec_id", "embedding"],
+                                   override_num_blocks=8)
+        .filter(expr="vec_id < 40"), k=3, iters=2)
+    out = cl.assign_clusters(ds, cents).to_pandas()
+    assert len(out) == 40
+    sd = cl.semantic_dedup(ds, cents, threshold=0.3).to_pandas()
+    assert len(sd) == 40
+    import ray as _ray
+
+    qref = _ray.put({"query_id": np.arange(2),
+                     "matrix": np.eye(64)[:2]})
+    partials = ds.map_batches(
+        PartialTopK, fn_constructor_kwargs=dict(queries_ref=qref, k=5),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    top = final_topk(partials, 5).to_pandas()
+    assert len(top) == 10
