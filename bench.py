@@ -201,16 +201,22 @@ def run_scaling() -> dict:
     proxy for N vs 4N Ray nodes, per BASELINE.md)."""
     here = os.path.abspath(__file__)
 
+    first_level = [True]
+
     def run(ncpu: int) -> dict:
+        # box load from a run takes ~a minute to decay; without a settle
+        # the next level inherits it (measured: the hi level read 30.9 s
+        # mid-sequence vs 24.6 s on a cool box — a 0.17 swing in
+        # reported efficiency from scheduling noise alone). Sleep BEFORE
+        # each level but the first, so the final level doesn't pay an
+        # idle minute after its measurement.
+        if not first_level[0]:
+            time.sleep(60)
+        first_level[0] = False
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SCALING_ONLY="1")
         out = subprocess.run([sys.executable, here], env=env,
                              capture_output=True, text=True, check=True)
-        # box load from a 32-thread run takes ~a minute to decay; without
-        # a settle the NEXT level inherits it (measured: the hi level
-        # read 30.9 s mid-sequence vs 24.6 s on a cool box — a 0.17
-        # swing in reported efficiency from scheduling noise alone)
-        time.sleep(60)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     # N vs 4N below the SMT knee: this box has 16 physical cores /

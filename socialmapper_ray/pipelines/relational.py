@@ -1128,6 +1128,8 @@ def funnel_counts(sf_dir: str):
     sums them. Strict ts inequality (ties excluded) keeps the rule
     deterministic and identical to the SQL.
     """
+    from ..stages.hash_join import _bucket_of
+
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
     n_buckets = 32
 
@@ -1142,8 +1144,8 @@ def funnel_counts(sf_dir: str):
             "event_type": pa.array(df["event_type"].astype(str),
                                    pa.string()),
             "ts": pa.array(df["ts"].to_numpy().astype("datetime64[us]")),
-            "__bucket": pa.array((df["user_id"].to_numpy() * 2654435761
-                                  % 2**31 % n_buckets).astype(np.int64))})
+            "__bucket": pa.array(_bucket_of(df["user_id"].to_numpy(),
+                                            n_buckets))})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         v = g.loc[g["event_type"] == "view"] \

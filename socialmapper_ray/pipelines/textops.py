@@ -690,6 +690,26 @@ WHERE length(snip.s) > 0 AND position(snip.s IN d.text) > 0
 """
 
 
+def _text_hash_bucket(text_hash, n_buckets: int) -> np.ndarray:
+    """Shared routing hash for text_hash-keyed exchanges (incremental
+    dedup plain + bloom MUST agree — they share one SQL oracle)."""
+    return pd.util.hash_array(np.asarray(text_hash, dtype=object)) \
+        .astype(np.int64) % np.int64(n_buckets)
+
+
+def _incremental_anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket exact anti-join kernel shared by dedup_incremental_q
+    and dedup_incremental_bloom_q: the earliest NEW doc per hash
+    survives iff the hash is absent from the OLD side."""
+    seen = set(g.loc[g["is_new"] == 0, "text_hash"])
+    new = g.loc[g["is_new"] == 1].sort_values("doc_id") \
+        .drop_duplicates("text_hash")
+    keep = new.loc[~new["text_hash"].isin(seen)]
+    return pd.DataFrame({
+        "doc_id": keep["doc_id"].astype(np.int64),
+        "text_hash": keep["text_hash"]})
+
+
 def dedup_incremental_q(sf_dir: str, split_id: int = 250):
     """Incremental ingest dedup: documents arriving in a NEW shard
     (doc_id >= split) survive only if their content hash appears
@@ -717,28 +737,16 @@ def dedup_incremental_q(sf_dir: str, split_id: int = 250):
         old = out.loc[out["is_new"] == 0].drop_duplicates("text_hash")
         new = out.loc[out["is_new"] == 1]
         out = pd.concat([old, new], ignore_index=True)
-        bucket = pd.util.hash_array(
-            out["text_hash"].to_numpy(dtype=object)) \
-            .astype(np.int64) % np.int64(n_buckets)
+        bucket = _text_hash_bucket(out["text_hash"].to_numpy(dtype=object),
+                                   n_buckets)
         return pa.table({
             "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
             "text_hash": pa.array(out["text_hash"], pa.string()),
             "is_new": pa.array(out["is_new"].to_numpy(dtype=np.int64)),
             "__bucket": pa.array(bucket)})
 
-    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        seen = set(g.loc[g["is_new"] == 0, "text_hash"])
-        new = g.loc[g["is_new"] == 1]
-        # earliest new doc per unseen hash survives
-        new = new.sort_values("doc_id").drop_duplicates("text_hash")
-        keep = new.loc[~new["text_hash"].isin(seen)]
-        return pd.DataFrame({
-            "doc_id": keep["doc_id"].astype(np.int64),
-            "text_hash": keep["text_hash"],
-        })
-
     return ds.map_batches(prep, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(anti_bucket,
+        .groupby("__bucket").map_groups(_incremental_anti_bucket,
                                         batch_format="pandas")
 
 
@@ -817,26 +825,17 @@ def dedup_incremental_bloom_q(sf_dir: str, split_id: int = 250):
         import pyarrow as pa
 
         df = batch.to_pandas()
-        bucket = pd.util.hash_array(
-            df["text_hash"].to_numpy(dtype=object)) \
-            .astype(np.int64) % np.int64(n_buckets)
+        bucket = _text_hash_bucket(df["text_hash"].to_numpy(dtype=object),
+                                   n_buckets)
         return pa.table({
             "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
             "text_hash": pa.array(df["text_hash"], pa.string()),
             "is_new": pa.array(df["is_new"].to_numpy(dtype=np.int64)),
             "__bucket": pa.array(bucket)})
 
-    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        seen = set(g.loc[g["is_new"] == 0, "text_hash"])
-        new = g.loc[g["is_new"] == 1].sort_values("doc_id") \
-            .drop_duplicates("text_hash")
-        keep = new.loc[~new["text_hash"].isin(seen)]
-        return pd.DataFrame({
-            "doc_id": keep["doc_id"].astype(np.int64),
-            "text_hash": keep["text_hash"]})
-
     return both.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(anti_bucket, batch_format="pandas")
+        .groupby("__bucket").map_groups(_incremental_anti_bucket,
+                                        batch_format="pandas")
 
 
 def text_repetition_q(sf_dir: str):

@@ -102,7 +102,11 @@ def kmeans_fit_distributed(make_ds, k: int = 10, iters: int = 8) -> np.ndarray:
     Fixed ``iters`` (not a convergence test) keeps the pass count — and
     therefore the result — independent of float summation noise.
     """
-    c = _normalize(_init_centroids(make_ds(), k))
+    c = _init_centroids(make_ds(), k)
+    if c.size == 0:
+        raise ValueError(
+            "kmeans_fit_distributed: no embedding rows to fit")
+    c = _normalize(c)
     # fewer rows than requested clusters: fit what exists (c's row
     # count, not the request, drives every downstream shape)
     k = c.shape[0]
@@ -183,11 +187,18 @@ def semantic_dedup(ds, centroids: np.ndarray, threshold: float = 0.95,
         )[order])
         n = len(ids)
         keep = np.ones(n, dtype=bool)
-        # greedy in id order: vec i is dropped iff some kept j<i is close
+        # greedy in id order: vec i is dropped iff some kept j<i is
+        # close. The kept set grows incrementally into a preallocated
+        # buffer — one matvec per row, no per-step boolean recopy.
+        kept_buf = np.empty_like(m)
+        kept_buf[0] = m[0]
+        n_kept = 1
         for i in range(1, n):
-            kept_prev = m[: i][keep[: i]]
-            if len(kept_prev) and (kept_prev @ m[i]).max() >= threshold:
+            if (kept_buf[:n_kept] @ m[i]).max() >= threshold:
                 keep[i] = False
+            else:
+                kept_buf[n_kept] = m[i]
+                n_kept += 1
         return pd.DataFrame({
             "vec_id": ids.astype(np.int64),
             "cluster": np.full(n, int(g["cluster"].iloc[0]), dtype=np.int64),

@@ -616,9 +616,12 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # a dirty corpus with duplicate doc_id rows yields one feat row
         # per occurrence; without this drop rows s/s+1 of a run could
-        # both be the SAME member (jaccard(a,a)=1 -> false duplicate)
-        g = g.drop_duplicates(["a", "b", id_col]) \
-             .sort_values(["a", "b", id_col], kind="stable")
+        # both be the SAME member (jaccard(a,a)=1 -> false duplicate).
+        # Sort by feat BYTES before dropping so the surviving row is
+        # layout-independent (shuffle arrival order must not pick which
+        # of two conflicting texts represents a duplicated id)
+        g = g.sort_values(["a", "b", id_col, "feat"], kind="stable") \
+             .drop_duplicates(["a", "b", id_col])
         ga = g["a"].to_numpy().astype(np.int64)
         gb = g["b"].to_numpy().astype(np.int64)
         mem = g[id_col].to_numpy().astype(np.int64)

@@ -115,6 +115,34 @@ def sssp_dists(src_arr: np.ndarray, dst_arr: np.ndarray, w_arr: np.ndarray,
     return dist
 
 
+def _band_rows_for_source(src_arr, dst_arr, w_arr, n_nodes_min: int,
+                          node: int, cap: int,
+                          extra: dict) -> pd.DataFrame:
+    """One source's (node_id, dist_s, band) frame + constant extra
+    columns — the kernel both routers share."""
+    big = np.iinfo(np.int64).max // 2
+    # a source beyond every edge endpoint (isolated node) still reaches
+    # itself at distance 0 — size the array to include it
+    n_nodes = max(n_nodes_min, node + 1)
+    dist = sssp_dists(src_arr, dst_arr, w_arr, n_nodes, node, cap)
+    reach = np.flatnonzero(dist < big)
+    cols = {k: np.repeat(v, len(reach)) for k, v in extra.items()}
+    cols.update({
+        "node_id": reach.astype(np.int64),
+        "dist_s": dist[reach],
+        "band": dist[reach] // BAND_S,
+    })
+    return pd.DataFrame(cols)
+
+
+def _empty_band_frame(extra_cols: tuple) -> pd.DataFrame:
+    cols = {k: pd.Series(dtype=object) for k in extra_cols}
+    cols.update({"node_id": pd.Series(dtype=np.int64),
+                 "dist_s": pd.Series(dtype=np.int64),
+                 "band": pd.Series(dtype=np.int64)})
+    return pd.DataFrame(cols)
+
+
 class NetworkBandRouter:
     """Actor-pool stage: source rows (center_id, node_id) ->
     (center_id, node_id, dist_s, band) rows for every node within the
@@ -126,28 +154,15 @@ class NetworkBandRouter:
         self.cap = cap
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        big = np.iinfo(np.int64).max // 2
-        for cid, node in zip(df["center_id"], df["node_id"]):
-            # a source beyond every edge endpoint (isolated node) still
-            # reaches itself at distance 0 — size the array to include it
-            n_nodes = max(self.n_nodes, int(node) + 1)
-            dist = sssp_dists(self.src, self.dst, self.w, n_nodes,
-                              int(node), self.cap)
-            reach = np.flatnonzero(dist < big)
-            outs.append(pd.DataFrame({
-                "center_id": np.repeat(cid, len(reach)),
-                "node_id": reach.astype(np.int64),
-                "dist_s": dist[reach],
-                "band": dist[reach] // BAND_S,
-            }))
+        outs = [
+            _band_rows_for_source(self.src, self.dst, self.w,
+                                  self.n_nodes, int(node), self.cap,
+                                  {"center_id": cid})
+            for cid, node in zip(df["center_id"], df["node_id"])]
         if not outs:
-            return pd.DataFrame({
-                "center_id": pd.Series(dtype=object),
-                "node_id": pd.Series(dtype=np.int64),
-                "dist_s": pd.Series(dtype=np.int64),
-                "band": pd.Series(dtype=np.int64)})
-        return pd.concat(outs, ignore_index=True)
+            return _empty_band_frame(("center_id",))
+        return pd.concat(outs, ignore_index=True)[
+            ["center_id", "node_id", "dist_s", "band"]]
 
 
 class MultiModeBandRouter:
@@ -162,30 +177,17 @@ class MultiModeBandRouter:
         self.n_nodes = int(max(self.src.max(), self.dst.max())) + 1
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        big = np.iinfo(np.int64).max // 2
-        for mode, cid, node in zip(df["mode"], df["center_id"],
-                                   df["node_id"]):
-            cap = MODE_CAP_S[mode]
-            n_nodes = max(self.n_nodes, int(node) + 1)
-            dist = sssp_dists(self.src, self.dst, self.w_by_mode[mode],
-                              n_nodes, int(node), cap)
-            reach = np.flatnonzero(dist < big)
-            outs.append(pd.DataFrame({
-                "mode": np.repeat(mode, len(reach)),
-                "center_id": np.repeat(cid, len(reach)),
-                "node_id": reach.astype(np.int64),
-                "dist_s": dist[reach],
-                "band": dist[reach] // BAND_S,
-            }))
+        outs = [
+            _band_rows_for_source(self.src, self.dst,
+                                  self.w_by_mode[mode], self.n_nodes,
+                                  int(node), MODE_CAP_S[mode],
+                                  {"mode": mode, "center_id": cid})
+            for mode, cid, node in zip(df["mode"], df["center_id"],
+                                       df["node_id"])]
         if not outs:
-            return pd.DataFrame({
-                "mode": pd.Series(dtype=object),
-                "center_id": pd.Series(dtype=object),
-                "node_id": pd.Series(dtype=np.int64),
-                "dist_s": pd.Series(dtype=np.int64),
-                "band": pd.Series(dtype=np.int64)})
-        return pd.concat(outs, ignore_index=True)
+            return _empty_band_frame(("mode", "center_id"))
+        return pd.concat(outs, ignore_index=True)[
+            ["mode", "center_id", "node_id", "dist_s", "band"]]
 
 
 def network_bands_multimode(sources_ds, edges_ref, concurrency: int = 4):

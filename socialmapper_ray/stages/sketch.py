@@ -152,9 +152,21 @@ def bloom_contains(bits: np.ndarray, values: np.ndarray,
 
 
 def hex_to_u64(hashes) -> np.ndarray:
-    """First 16 hex chars of a digest string column -> uint64 keys."""
-    return np.asarray([int(str(h)[:16], 16) for h in hashes],
-                      dtype=np.uint64)
+    """First 16 hex chars of a digest string column -> uint64 keys.
+
+    Vectorized nibble fold (no per-row int() parse): the UCS4 buffer of
+    a fixed-width 'U16' array views as (n, 16) codepoints; digits and
+    a-f map to nibbles arithmetically. Equal to int(h[:16], 16)
+    (pytest-checked).
+    """
+    if len(hashes) == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.asarray(hashes, dtype="U16")          # truncates to 16 chars
+    codes = arr.view(np.uint32).reshape(len(arr), 16).astype(np.uint64)
+    nib = codes - np.uint64(48)                    # '0'..'9' -> 0..9
+    nib[nib > 9] -= np.uint64(39)                  # 'a'..'f' -> 10..15
+    shifts = np.arange(60, -4, -4, dtype=np.uint64)
+    return (nib << shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def bloom_of_dataset(ds, value_fn, m_bits: int = BLOOM_M_BITS,

@@ -170,3 +170,16 @@ def test_top_tokens_cms_matches_exact(ray_session):
         ORDER BY n DESC, token ASC LIMIT 20""").df()
     assert list(got["token"]) == list(exact["token"])
     assert list(got["est_count"]) == list(exact["n"])
+
+
+def test_hex_to_u64_matches_int_parse():
+    import hashlib
+
+    from socialmapper_ray.stages.sketch import hex_to_u64
+
+    hashes = [hashlib.md5(f"doc{i}".encode()).hexdigest()
+              for i in range(500)]
+    got = hex_to_u64(hashes)
+    want = np.asarray([int(h[:16], 16) for h in hashes], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    assert len(hex_to_u64([])) == 0
