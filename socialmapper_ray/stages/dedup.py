@@ -836,13 +836,14 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
             "node": pd.Series(dtype=np.int64),
             "component": pd.Series(dtype=np.int64)}))
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        u = np.unique(df["u"].to_numpy(np.int64))
-        return pd.DataFrame({"node": u, "component": u,
-                             "__nb": u % np.int64(n_buckets)})
+    def init_labels(t) -> "pd.DataFrame":
+        u = np.unique(t["u"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"node": pa.array(u), "component": pa.array(u),
+                         "__nb": pa.array(u % np.int64(n_buckets))})
 
     # per-bucket dedup is global dedup (a node lives in one bucket)
-    labels = edges.map_batches(init_labels, batch_format="pandas") \
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
         .groupby("__nb").map_groups(
             lambda g: g.drop_duplicates("node")[["node", "component"]],
             batch_format="pandas").materialize()
@@ -853,13 +854,20 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 64,
                         right_cols=["node", "component"],
                         n_buckets=n_buckets,
                         int_fill_cols=("u", "v", "node", "component")) \
-            .map_batches(lambda df: pd.DataFrame(
-                {"node": df["u"].to_numpy(np.int64),
-                 "cand": df["component"].to_numpy(np.int64),
-                 "own": (df["u"].to_numpy(np.int64)
-                         == df["v"].to_numpy(np.int64)).astype(np.int64),
-                 "__nb": df["u"].to_numpy(np.int64) % np.int64(n_buckets)}),
-                batch_format="pandas")
+            .map_batches(lambda t: pa.table(
+                {"node": pa.array(t["u"].to_numpy(zero_copy_only=False)
+                                  .astype(np.int64)),
+                 "cand": pa.array(t["component"]
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.int64)),
+                 "own": pa.array(
+                     (t["u"].to_numpy(zero_copy_only=False)
+                      == t["v"].to_numpy(zero_copy_only=False))
+                     .astype(np.int64)),
+                 "__nb": pa.array(t["u"].to_numpy(zero_copy_only=False)
+                                  .astype(np.int64)
+                                  % np.int64(n_buckets))}),
+                batch_format="pyarrow")
 
         def min_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
             # vectorized min-per-node within one node bucket (grouping
@@ -1140,14 +1148,20 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     min-hamming dedupe is a keyed pair-hash combine
     (:func:`combine_pair_partials`) — scales with the pair set.
     """
-    def block_rows_bucketed(b: pd.DataFrame) -> pd.DataFrame:
-        out = simhash_blocks(b, id_col, text_col)
-        out["__bucket"] = _bucket_of_u64(
-            out["block_val"].to_numpy(), out["block_id"].to_numpy(),
-            n_buckets)
-        return out
+    def block_rows_bucketed(b) -> "pd.DataFrame":
+        out = simhash_blocks(b.to_pandas(), id_col, text_col)
+        # declared-pyarrow: pandas-declared stages fused into the
+        # shuffle map phase pay ~10x (exact_dedup docstring)
+        return pa.table({
+            "block_id": pa.array(out["block_id"].to_numpy()),
+            "block_val": pa.array(out["block_val"].to_numpy()),
+            id_col: pa.array(out[id_col].to_numpy()),
+            "simhash": pa.array(out["simhash"].to_numpy()),
+            "__bucket": pa.array(_bucket_of_u64(
+                out["block_val"].to_numpy(), out["block_id"].to_numpy(),
+                n_buckets))})
 
-    blocks = ds.map_batches(block_rows_bucketed, batch_format="pandas")
+    blocks = ds.map_batches(block_rows_bucketed, batch_format="pyarrow")
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
         bid = g["block_id"].to_numpy()

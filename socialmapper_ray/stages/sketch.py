@@ -80,12 +80,19 @@ def approx_distinct_per_group(ds, group_col: str, value_col: str,
     Exchange: one (group, 2^p-byte register blob) row per (group,
     batch); the groupby combine is an elementwise max over blobs.
     """
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+    def partial(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        df = batch.to_pandas()
+        keys, blobs = [], []
         for g, grp in df.groupby(group_col, sort=False):
             reg = hll_registers(grp[value_col].to_numpy(np.int64), p)
-            rows.append((g, reg.tobytes()))
-        return pd.DataFrame(rows, columns=[group_col, "reg"])
+            keys.append(g)
+            blobs.append(reg.tobytes())
+        # declared-pyarrow (see dedup.exact_dedup): binary register
+        # blobs ride the exchange zero-copy
+        return pa.table({group_col: pa.array(keys),
+                         "reg": pa.array(blobs, pa.binary())})
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(1 << p, dtype=np.uint8)
@@ -96,7 +103,7 @@ def approx_distinct_per_group(ds, group_col: str, value_col: str,
             "approx_distinct": [int(round(hll_estimate(acc)))],
         })
 
-    return ds.map_batches(partial, batch_format="pandas") \
+    return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(combine, batch_format="pandas")
 
 
