@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,
         "top_tokens_cms": tp.top_tokens_cms_q,
         "funnel_counts": rel.funnel_counts,
+        "zone_area_stats": sp.zone_area_stats_q,
     }
 
 
@@ -226,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_rarity": tp.DOC_RARITY_SQL,
         "dedup_incremental_bloom": tp.DEDUP_INCREMENTAL_SQL,
         "funnel_counts": rel.FUNNEL_SQL,
+        "zone_area_stats": sp.zone_area_stats_sql(d),
     }

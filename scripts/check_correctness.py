@@ -119,7 +119,8 @@ def main():
                      # rebuilt per sf dir (sf0.001 and sf0.01 have the
                      # same doc count but different texts: a stale
                      # sf0.01 path passes rows and fails sum_chars)
-                     ("domain_stats", tp.domain_stats_sql)):
+                     ("domain_stats", tp.domain_stats_sql),
+                     ("zone_area_stats", sp.zone_area_stats_sql)):
         oracles[name] = fn(d)
 
     con = duckdb.connect()

@@ -808,6 +808,74 @@ def band_polygons_sql(d: str, n_vertices: int = 32) -> str:
 # A4: per-kind cluster metrics (Count/Mean/Max/Min aggregates)
 # ---------------------------------------------------------------------------
 
+def zone_area_stats_q(sf_dir: str):
+    """Per-kind polygon AREA rollup (A8-adjacent geometry aggregation):
+    shoelace area per zone from the WKB ring, quantized to exact e6
+    integers BEFORE any aggregation (integer sums are order-exact
+    across engines), then a per-kind count/sum/min/max.
+
+    Oracle: the generator's independent zone_edges ground-truth table —
+    the SQL shoelace runs over the same edge terms, so the one double
+    each side rounds is numerically identical up to summation order
+    (same trust model as the zone_centroids oracle).
+    """
+    from .. import geom
+
+    synth.ensure_synth(sf_dir)
+    zones = rd.read_parquet(synth.table_path(sf_dir, "zones"),
+                            columns=["zone_id", "kind", "wkb"])
+
+    def areas(df: pd.DataFrame) -> pd.DataFrame:
+        vals = []
+        for blob in df["wkb"]:
+            _, coords = geom.wkb_decode(blob)
+            c = np.asarray(coords, dtype=np.float64)
+            if len(c) > 1 and np.array_equal(c[0], c[-1]):
+                c = c[:-1]
+            x, y = c[:, 0], c[:, 1]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            a = abs((x * y2 - x2 * y).sum()) / 2.0
+            vals.append(int(round(a * 1e6)))
+        part = pd.DataFrame({"kind": df["kind"],
+                             "area_e6": np.asarray(vals, dtype=np.int64)})
+        return part.groupby("kind", sort=False).agg(
+            n=("area_e6", "size"), s=("area_e6", "sum"),
+            lo=("area_e6", "min"), hi=("area_e6", "max")).reset_index()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("kind", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), lo=("lo", "min"),
+            hi=("hi", "max")).reset_index()
+        return pd.DataFrame({
+            "kind": g["kind"],
+            "n_zones": g["n"].astype(np.int64),
+            "sum_area_e6": g["s"].astype(np.int64),
+            "min_area_e6": g["lo"].astype(np.int64),
+            "max_area_e6": g["hi"].astype(np.int64)})
+
+    return zones.map_batches(areas, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+
+
+def zone_area_stats_sql(d: str) -> str:
+    return f"""
+    WITH area AS (
+      SELECT zone_id,
+             CAST(round(1e6 * abs(SUM(x1 * y2 - x2 * y1)) / 2)
+                  AS BIGINT) AS area_e6
+      FROM read_parquet('{d}/zone_edges.parquet')
+      GROUP BY zone_id),
+    z AS (SELECT zone_id, kind FROM read_parquet('{d}/zones.parquet'))
+    SELECT z.kind, CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(a.area_e6) AS BIGINT) AS sum_area_e6,
+           CAST(MIN(a.area_e6) AS BIGINT) AS min_area_e6,
+           CAST(MAX(a.area_e6) AS BIGINT) AS max_area_e6
+    FROM area a JOIN z USING (zone_id)
+    GROUP BY z.kind
+    """
+
+
 def zone_kind_stats_q(sf_dir: str):
     """Per-kind zone stats (reference clustering.py:122-137 cluster
     metrics): the canonical Count/Mean/Max/Min grouped aggregate."""

@@ -47,6 +47,7 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
                      ("network_bands_multimode",
                       sp.network_bands_multimode_sql),
                      ("radius_join", sp.radius_join_sql),
+                     ("zone_area_stats", sp.zone_area_stats_sql),
                      ("geocode_pois", sp.geocode_pois_sql)):
         oracles[name] = fn(d)
     from socialmapper_ray.pipelines import textops as _tp
