@@ -76,8 +76,14 @@ def wkb_decode(buf: bytes):
         return "point", (lon, lat)
     if gtype == 3:
         (nrings,) = struct.unpack_from("<I", buf, 5)
-        if nrings < 1:
-            return "polygon", np.empty((0, 2))
+        if nrings != 1:
+            # a multi-ring (donut) polygon silently decoded as its
+            # outer ring would classify points inside a HOLE as inside
+            # the zone — refuse rather than mis-join (every in-repo
+            # writer emits single-ring WKB; see wkb_polygon)
+            raise ValueError(
+                f"wkb_decode: expected exactly 1 ring, got {nrings} "
+                "(interior rings/holes are not supported)")
         (npts,) = struct.unpack_from("<I", buf, 9)
         ring = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=13)
         return "polygon", ring.reshape(npts, 2).copy()
@@ -199,8 +205,12 @@ class PolygonSet:
         if (u32(start + 1) != 3).any():
             raise ValueError("from_wkb_arrow: non-polygon geometry")
         nrings = u32(start + 5)
-        if (nrings < 1).any():
-            raise ValueError("from_wkb_arrow: empty polygon")
+        if (nrings != 1).any():
+            # single-ring only, loudly: decoding just the outer ring of
+            # a donut polygon would put hole-interior points IN the zone
+            raise ValueError(
+                "from_wkb_arrow: expected exactly 1 ring per polygon "
+                "(empty or multi-ring/hole WKB is not supported)")
         npts = u32(start + 9)
         nbytes = npts * 16
         if ((offsets[1:] - start) < 13 + nbytes).any():

@@ -1059,27 +1059,35 @@ def events_p99_filter(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch) -> "pa.Table":
+        # declared-pyarrow: feeds the keyed exchange below (a
+        # pandas-declared stage fused into a shuffle map phase pays ~10x)
+        import pyarrow as pa
+
+        df = batch.to_pandas()
         df = df.assign(v=(df["value"] * 10000).round().astype(np.int64))
-        return df.groupby(["event_type", "v"], sort=False) \
-                 .size().reset_index(name="n")
+        g = df.groupby(["event_type", "v"], sort=False) \
+              .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.groupby(["event_type", "v"], sort=False)["n"].sum() \
-               .reset_index()
-        rows = []
-        for et, g in df.groupby("event_type", sort=False):
-            g = g.sort_values("v")
-            n = int(g["n"].sum())
-            c = g["n"].cumsum().to_numpy()
-            v = g["v"].to_numpy()
-            rows.append((et, int(v[np.searchsorted(
-                c, int(np.ceil(0.99 * n)))])))
-        return pd.DataFrame(rows, columns=["event_type", "p99_e4"])
+    def threshold_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # one group's histogram partials -> ONE threshold row; the
+        # per-group input is bounded by distinct e4 values in the group,
+        # never by the corpus, and groups combine in parallel (the
+        # pre-r4 repartition(1) funneled EVERY group's histogram —
+        # cardinality tracks distinct values — into a single task)
+        et = g["event_type"].iloc[0]
+        h = g.groupby("v", sort=True)["n"].sum()
+        n = int(h.sum())
+        c = h.cumsum().to_numpy()
+        v = h.index.to_numpy()
+        p99 = int(v[np.searchsorted(c, int(np.ceil(0.99 * n)))])
+        return pd.DataFrame({"event_type": [et], "p99_e4": [p99]})
 
-    thr = ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(thresholds, batch_format="pandas", batch_size=None) \
+    thr = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .map_groups(threshold_per_group, batch_format="pandas") \
         .to_pandas()
     thr_ref = ray.put(dict(zip(thr["event_type"], thr["p99_e4"])))
 

@@ -835,7 +835,12 @@ def zone_area_stats_q(sf_dir: str):
             x, y = c[:, 0], c[:, 1]
             x2, y2 = np.roll(x, -1), np.roll(y, -1)
             a = abs((x * y2 - x2 * y).sum()) / 2.0
-            vals.append(int(round(a * 1e6)))
+            # floor(x + 0.5), NOT round(): numpy/python round is
+            # half-to-even while DuckDB's is half-away — an area sum
+            # landing exactly on a .5e-6 boundary would flip the integer
+            # between engines (same convention as the other e-scale
+            # oracles; see graft hash-stability notes)
+            vals.append(int(np.floor(a * 1e6 + 0.5)))
         part = pd.DataFrame({"kind": df["kind"],
                              "area_e6": np.asarray(vals, dtype=np.int64)})
         return part.groupby("kind", sort=False).agg(
@@ -862,7 +867,7 @@ def zone_area_stats_sql(d: str) -> str:
     return f"""
     WITH area AS (
       SELECT zone_id,
-             CAST(round(1e6 * abs(SUM(x1 * y2 - x2 * y1)) / 2)
+             CAST(floor(1e6 * abs(SUM(x1 * y2 - x2 * y1)) / 2 + 0.5)
                   AS BIGINT) AS area_e6
       FROM read_parquet('{d}/zone_edges.parquet')
       GROUP BY zone_id),

@@ -1115,15 +1115,29 @@ ORDER BY n_occ DESC, token ASC LIMIT 50
 """
 
 
-def top_tokens_cms_q(sf_dir: str, topk: int = 20):
+def top_tokens_cms_q(sf_dir: str, topk: int = 20, cand_factor: int = 4):
     """Approximate corpus heavy hitters via a count-min sketch — the
     scale path for :func:`top_tokens_q` when the VOCABULARY itself is
     too large to shuffle: each batch ships a fixed d x w counter matrix
     plus its local top candidates (bounded bytes per batch, independent
     of vocabulary size); the combine sums the sketches and re-estimates
-    the candidate union. One-sided error (never under-counts); exactness
-    at this vocab size is pytest-verified against the exact counts.
-    Rows-only driver check (approximate op).
+    the candidate union. COUNT error is one-sided (CMS never
+    under-counts a candidate).
+
+    RECALL caveat (two-sided): a token can only appear in the output if
+    it entered SOME batch's local top-``cand_factor * topk`` head — a
+    token that is globally top-k purely by even spread, while never
+    locally hot, is missed even though the sketch counted it. This is
+    the standard heavy-hitters candidate-set trade (Cormode &
+    Muthukrishnan 2005 track the heap against the FULL stream; a
+    distributed combine only sees per-batch heads). Mitigations: raise
+    ``cand_factor`` (candidate union grows as batches x head, still
+    tiny), or use larger batches — a head of c*k misses a true top-k
+    token only if every batch has >= c*k tokens locally hotter, which
+    for zipfian text means the miss candidates are all near-ties.
+    Exactness at the test vocabulary (where heads cover the vocab) is
+    pytest-verified against exact DuckDB counts. Rows-only driver check
+    (approximate op).
     """
     import zlib
 
@@ -1132,7 +1146,7 @@ def top_tokens_cms_q(sf_dir: str, topk: int = 20):
     from ..stages.sketch import CMS_D, CMS_W, cms_estimate, cms_table
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_cand = 4 * topk
+    n_cand = cand_factor * topk
 
     def partial(df: pd.DataFrame) -> pa.Table:
         t = df["text"].str.strip()
@@ -1150,14 +1164,24 @@ def top_tokens_cms_q(sf_dir: str, topk: int = 20):
                              pa.list_(pa.string())),
         })
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_level(df: pd.DataFrame) -> pa.Table:
+        # fold many (sketch, cand) rows into one — sketches are
+        # elementwise-additive, candidate sets union
         total = np.zeros((CMS_D, CMS_W), dtype=np.int64)
         cands: set[str] = set()
         for blob, cl in zip(df["sketch"], df["cand"]):
             total += np.frombuffer(blob, dtype=np.int64) \
                 .reshape(CMS_D, CMS_W)
             cands.update(cl)
-        cand = sorted(cands)
+        return pa.table({
+            "sketch": pa.array([total.tobytes()], pa.binary()),
+            "cand": pa.array([sorted(cands)], pa.list_(pa.string()))})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = merge_level(df).to_pandas()
+        total = np.frombuffer(m["sketch"][0], dtype=np.int64) \
+            .reshape(CMS_D, CMS_W)
+        cand = list(m["cand"][0])
         keys = np.asarray([zlib.crc32(w.encode("utf-8")) for w in cand],
                           dtype=np.uint64)
         est = cms_estimate(total, keys)
@@ -1166,9 +1190,19 @@ def top_tokens_cms_q(sf_dir: str, topk: int = 20):
             "token": np.asarray(cand, dtype=object)[order],
             "est_count": est[order].astype(np.int64)})
 
-    return ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(combine, batch_format="pandas", batch_size=None)
+    # 2-level tree: level 1 folds per-batch sketches cluster-wide (one
+    # ~128 KiB row out per task), the final task sees only `width`
+    # sketches — never one row per input batch (the pre-r4
+    # repartition(1) funneled n_batches x 128 KiB into a single task)
+    from ..stages.zonal import _auto_buckets
+
+    width = _auto_buckets()
+    lvl1 = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(width) \
+        .map_batches(lambda df: merge_level(df), batch_format="pandas",
+                     batch_size=None)
+    return lvl1.repartition(1) \
+        .map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def tfidf_top_terms_q(sf_dir: str, topk: int = 5):

@@ -12,58 +12,80 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ray.data.aggregate import Count, Min
 
 
+def _auto_buckets() -> int:
+    """Cluster-proportional combine width: ~one bucket per CPU, so the
+    final combine's parallelism grows with the cluster, never the data
+    (partial rows per bucket stay ~n_batches x zones-per-batch / CPUs)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
+
+
 def zonal_counts(join_ds, value_col: str | None = None,
-                 zone_col: str = "zone_id", final_blocks: int = 1):
+                 zone_col: str = "zone_id", n_buckets: int | None = None):
     """(url, zone_id[, value]) pairs -> per-zone n_pois (+ value sum).
 
-    Topology: per-batch partial aggregate (combiner) -> tree combine.
-    The heavy join stream never shuffles; only partial rows (bounded by
-    n_batches x n_zones) move. The final combine is a repartition +
-    pandas groupby rather than Ray's Aggregate operator: zonal
-    cardinality (~1e5 zones even nationally) is small enough that the
-    all-to-all barrier costs more than it saves (measured ~6 s fixed on
-    this workload). Raise ``final_blocks`` for a 2-level tree when
-    partials outgrow one block.
+    Topology: per-batch partial aggregate (combiner) -> hash-partitioned
+    keyed combine. The heavy join stream never shuffles; only partial
+    rows (bounded by n_batches x zones-touched-per-batch) move, and they
+    move in ONE keyed exchange: the partial stage routes each zone to
+    ``crc32(zone) % n_buckets`` and the combine is a per-bucket
+    vectorized groupby-sum — every bucket holds COMPLETE zones, so no
+    second level is needed and no stage is a single-task funnel (the
+    previous ``repartition(1)`` final was exactly that: invisible at
+    sf0.1, a 1e8-row single task at 100 TB). Measured cost of the keyed
+    exchange vs the funnel at sf0.1/32cpus: +0.23 s min-of-4 interleaved
+    — inside the box's own drift band.
+
+    ``n_buckets=None`` auto-sizes to the cluster CPU count.
     """
+    import zlib
+
+    if n_buckets is None:
+        n_buckets = _auto_buckets()
+    nb = np.int64(n_buckets)
+
     def partial(batch: pa.Table) -> pa.Table:
+        # declared-pyarrow (feeds the keyed exchange; a pandas-declared
+        # stage fused into a shuffle map phase pays ~10x), pandas hop
+        # inside for the grouped partial
         gb_cols = [zone_col]
         df = batch.select(gb_cols + ([value_col] if value_col else [])) \
                   .to_pandas()
         if value_col:
             g = df.groupby(zone_col, sort=False).agg(
                 n=(value_col, "size"), v=(value_col, "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
-        g = df.groupby(zone_col, sort=False).size().reset_index(name="n")
+        else:
+            g = df.groupby(zone_col, sort=False).size() \
+                  .reset_index(name="n")
+        g["__zb"] = np.asarray(
+            [zlib.crc32(str(z).encode("utf-8")) for z in g[zone_col]],
+            dtype=np.int64) % nb
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    def combine_raw(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(zone_col, sort=False).sum().reset_index()
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = {zone_col: df[zone_col], "n_pois": df["n"]}
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg_cols = ["n", "v"] if value_col else ["n"]
+        c = g.groupby(zone_col, sort=False)[agg_cols].sum().reset_index()
+        out = {zone_col: c[zone_col], "n_pois": c["n"]}
         if value_col:
-            out[f"sum_{value_col}"] = df["v"]
+            out[f"sum_{value_col}"] = c["v"]
         return pd.DataFrame(out)
 
     partials = join_ds.map_batches(partial, batch_format="pyarrow")
-    t = partials.repartition(final_blocks) \
-        .map_batches(combine_raw, batch_format="pandas", batch_size=None)
-    if final_blocks > 1:
-        # repartition is round-robin, not hash: a zone can span blocks,
-        # so the 2-level tree needs this second (tiny) combine level —
-        # its input is <= final_blocks rows per zone
-        t = t.repartition(1).map_batches(combine_raw,
-                                         batch_format="pandas",
-                                         batch_size=None)
-    return t.map_batches(finish, batch_format="pandas", batch_size=None)
+    return partials.groupby("__zb").map_groups(combine_bucket,
+                                               batch_format="pandas")
 
 
 def dedup_first(ds, keys: list[str], min_cols: list[str] = (),

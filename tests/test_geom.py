@@ -176,3 +176,31 @@ def test_polygonset_take_equals_rebuild():
     m2 = geom.points_in_polygons(pts[:, 0], pts[:, 1], rebuilt,
                                  pair_pt, pair_poly)
     assert np.array_equal(m1, m2)
+
+
+def test_multi_ring_wkb_rejected_both_decoders():
+    """Donut (multi-ring) WKB must raise in BOTH decode paths — silently
+    decoding the outer ring would classify hole-interior points as
+    inside the zone."""
+    import struct
+
+    import pyarrow as pa
+
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    inner = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)
+
+    def ring_bytes(c):
+        return struct.pack("<I", len(c)) + c.astype("<f8").tobytes()
+
+    donut = struct.pack("<BII", 1, 3, 2) + ring_bytes(outer) \
+        + ring_bytes(inner)
+    with pytest.raises(ValueError, match="ring"):
+        geom.wkb_decode(donut)
+    with pytest.raises(ValueError, match="ring"):
+        geom.PolygonSet.from_wkb_arrow(pa.array([donut], pa.binary()))
+    # zero-ring polygons are equally refused
+    empty = struct.pack("<BII", 1, 3, 0)
+    with pytest.raises(ValueError, match="ring"):
+        geom.wkb_decode(empty)
+    with pytest.raises(ValueError, match="ring"):
+        geom.PolygonSet.from_wkb_arrow(pa.array([empty], pa.binary()))

@@ -162,26 +162,61 @@ def test_dedup_first_rules(ray_session):
     assert out["n_dupes"].tolist() == [2, 3]
 
 
-def test_zonal_counts_two_level_tree(ray_session):
-    """final_blocks > 1 must still yield ONE row per zone with totals
-    equal to the single-block combine (a zone's partials are spread
-    round-robin across blocks, so a second combine level is required)."""
+def test_zonal_counts_keyed_combine(ray_session):
+    """The keyed combine must yield ONE row per zone with exact totals
+    at any bucket width (a zone's partials all land in its hash bucket,
+    so per-bucket combine IS global combine), and the bucket column
+    must not leak into the output."""
     import ray.data as rd
 
     from socialmapper_ray.stages import zonal
 
     rng = np.random.default_rng(3)
     df = pd.DataFrame({
-        "zone_id": rng.integers(0, 20, 5000),
+        "zone_id": rng.integers(0, 20, 5000).astype(str),
         "n_chars": rng.integers(1, 100, 5000),
     })
     ds = rd.from_pandas(df).repartition(8)
-    one = zonal.zonal_counts(ds, value_col="n_chars", final_blocks=1) \
-        .to_pandas().sort_values("zone_id").reset_index(drop=True)
-    four = zonal.zonal_counts(ds, value_col="n_chars", final_blocks=4) \
-        .to_pandas().sort_values("zone_id").reset_index(drop=True)
-    assert len(four) == df["zone_id"].nunique()
-    assert one.equals(four)
+    expect = df.groupby("zone_id").agg(
+        n_pois=("n_chars", "size"), sum_n_chars=("n_chars", "sum")) \
+        .reset_index().sort_values("zone_id").reset_index(drop=True)
+    for nb in (1, 4, 32):
+        out = zonal.zonal_counts(ds, value_col="n_chars", n_buckets=nb) \
+            .to_pandas().sort_values("zone_id").reset_index(drop=True)
+        assert list(out.columns) == ["zone_id", "n_pois", "sum_n_chars"]
+        assert len(out) == df["zone_id"].nunique()
+        assert (out["n_pois"].to_numpy()
+                == expect["n_pois"].to_numpy()).all()
+        assert (out["sum_n_chars"].to_numpy()
+                == expect["sum_n_chars"].to_numpy()).all()
+
+
+def test_zonal_counts_no_single_task_funnel(ray_session):
+    """The executed zonal plan must contain NO single-task combine stage
+    (the pre-r4 repartition(1) funnel): at the default (auto) bucket
+    width the final combine is a keyed exchange whose reduce side runs
+    as many tasks as there are populated buckets."""
+    import ray.data as rd
+
+    from socialmapper_ray.stages import zonal
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "zone_id": rng.integers(0, 500, 20000).astype(str),
+        "n_chars": rng.integers(1, 100, 20000),
+    })
+    # 8 input blocks WITHOUT a Repartition operator in the plan, so the
+    # assertion below pins the zonal stages alone
+    chunks = [df.iloc[i::8].reset_index(drop=True) for i in range(8)]
+    ds = rd.from_pandas(chunks)
+    out = zonal.zonal_counts(ds, value_col="n_chars").materialize()
+    stats = out.stats()
+    # no Repartition operator anywhere in the executed plan ...
+    assert "Repartition" not in stats
+    # ... and the keyed exchange ran (Ray's sort-based groupby)
+    assert "Sort" in stats
+    # the combine output spans >1 block: not a single-task funnel
+    assert out.num_blocks() > 1
 
 
 def test_band_polygons_artifact():
