@@ -131,7 +131,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_partitioned": tp.ann_topk_ivf_partitioned_q,
         "sample_docs": tp.sample_docs_q,
         "lang_id": tp.lang_id_q,
-        "dup_shingles": tp.dup_shingles_q,
+        # oracle_exact: carry shingle STRINGS through the exchange so the
+        # DuckDB LATERAL oracle matches with zero hash assumption; the
+        # default (engine) path keys on the 64-bit content hash and a
+        # pytest pins both modes equal
+        "dup_shingles": lambda sf: tp.dup_shingles_q(sf, oracle_exact=True),
         "top_tokens": tp.top_tokens_q,
         "tfidf_top_terms": tp.tfidf_top_terms_q,
         "embedding_kmeans": tp.embedding_kmeans_q,

@@ -956,7 +956,8 @@ def domain_stats_sql(d: str) -> str:
 # Duplicate-shingle coverage (dup-span analysis, RefinedWeb/C4-style)
 # ---------------------------------------------------------------------------
 
-def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
+def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32,
+                   oracle_exact: bool = False):
     """Per-doc duplicate-k-shingle coverage: what fraction of each doc's
     distinct word-5-shingles also appear in ANOTHER document.
 
@@ -965,15 +966,20 @@ def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
     arXiv:2306.01116 §4; Lee et al. 2022, arXiv:2107.06499 use exact
     substring spans — word shingles are the bounded-memory analogue).
 
-    Plan: explode (doc_id, shingle) distinct-per-doc -> hash-bucket the
-    shingle key (ONE exchange; per-bucket kernel is a single vectorized
+    Plan: explode (doc_id, shingle-key) distinct-per-doc -> hash-bucket
+    the key (ONE exchange; per-bucket kernel is a single vectorized
     transform('size'), never per-shingle Python, and PRE-AGGREGATES per
     doc so the second exchange carries one row per (doc, bucket)) ->
-    per-doc sum (second keyed exchange) -> ppm finalize. Shingle strings
-    ride the first exchange so the SQL oracle is exact; at 100 TB the
-    same plan runs on the 64-bit shingle hash instead (collision odds
-    ~n^2/2^65 — swap the key column, nothing else changes). Every stage
-    emits ARROW blocks: Ray's sort-aggregate is vectorized on Arrow but
+    per-doc sum (second keyed exchange) -> ppm finalize.
+
+    THE EXCHANGE KEY IS A 64-BIT CONTENT HASH by default (blake2b-8 of
+    the shingle bytes): only 8 bytes per shingle ride the shuffle, and
+    collision odds are ~n^2/2^65 — the 100 TB path. With
+    ``oracle_exact=True`` the shingle STRING is carried instead so the
+    DuckDB LATERAL-shingle oracle matches bit-for-bit with zero hash
+    assumption (the gate entry uses this); a pytest asserts both key
+    modes produce identical output at test scale. Every stage emits
+    ARROW blocks: Ray's sort-aggregate is vectorized on Arrow but
     per-group python on pandas blocks (measured 19 s -> 1.5 s on this
     very query's final aggregate).
     """
@@ -981,6 +987,7 @@ def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    key_col = "shingle" if oracle_exact else "shingle_h"
 
     def explode(batch: pa.Table) -> pa.Table:
         # declared-pyarrow: a pandas-declared stage fused into the
@@ -993,23 +1000,34 @@ def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32):
             doc_ids.extend([did] * len(sh))
             shingles.extend(sh)
         # route on a content hash (NOT python hash(): must be stable
-        # across workers); factorize -> one crc32 per unique shingle
+        # across workers); factorize -> ONE hash per unique shingle
         codes, uniq = pd.factorize(pd.Series(shingles, dtype=object),
                                    sort=False)
+        import hashlib
         import zlib
 
-        uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniq],
-                        dtype=np.int64)
-        return pa.table({
-            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
-            "shingle": pa.array(shingles, pa.string()),
-            "bucket": pa.array(uh[codes] % n_buckets)})
+        cols = {"doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64))}
+        if oracle_exact:
+            uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniq],
+                            dtype=np.int64)
+            cols["shingle"] = pa.array(shingles, pa.string())
+        else:
+            u64 = np.asarray(
+                [int.from_bytes(hashlib.blake2b(
+                    u.encode("utf-8"), digest_size=8).digest(), "little")
+                 for u in uniq], dtype=np.uint64)
+            h = u64.view(np.int64)          # exact reinterpret, int64 ops
+            cols["shingle_h"] = pa.array(h[codes])
+            uh = h
+        # numpy int64 % positive is non-negative (sign of divisor)
+        cols["bucket"] = pa.array(uh[codes] % np.int64(n_buckets))
+        return pa.table(cols)
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         # rows are distinct per (doc, shingle), so group size == number
         # of docs containing the shingle; pre-aggregate per doc before
         # the exchange
-        nd = g.groupby("shingle", sort=False)["doc_id"].transform("size")
+        nd = g.groupby(key_col, sort=False)["doc_id"].transform("size")
         t = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
                           "dup": (nd.to_numpy() >= 2).astype(np.int64)})
         p = t.groupby("doc_id", sort=False) \

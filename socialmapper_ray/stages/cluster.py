@@ -92,8 +92,60 @@ def _stats_partial(batch: pa.Table, cents_ref) -> pa.Table:
     })
 
 
-def kmeans_fit_distributed(make_ds, k: int = 10, iters: int = 8) -> np.ndarray:
-    """Fit k-means centroids with one streaming pass per iteration.
+def _fit_on_sample(make_ds, k: int, iters: int, cap: int) -> np.ndarray:
+    """Driver-side Lloyd on the ``cap`` rows with the smallest
+    splitmix64(vec_id): ONE pass over the corpus collects the sample
+    (per-batch partial top-cap, driver merge), then all ``iters``
+    iterations run on the in-memory sample.
+
+    Sample membership is a pure function of vec_id (layout- and
+    parallelism-independent), rows are summed in vec_id-sorted order,
+    and the k seeds are the k globally smallest hashes — which are BY
+    CONSTRUCTION inside the sample — so the fit is byte-reproducible
+    and uses the exact same seeding rule as the full-pass fit.
+    """
+    from ..sources.synth import splitmix64
+
+    parts = make_ds().map_batches(_seed_partial, batch_format="pyarrow",
+                                  fn_kwargs=dict(k=cap)).to_pandas()
+    if len(parts) == 0:
+        raise ValueError("kmeans_fit_distributed: no embedding rows to fit")
+    parts = parts.sort_values("hash", kind="stable").head(cap)
+    ids = parts["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    m = np.asarray([np.asarray(e, dtype=np.float64)
+                    for e in parts["emb"]])[order]
+    h = splitmix64(ids.astype(np.uint64))
+    c = _normalize(m[np.argsort(h, kind="stable")[:k]])
+    k = c.shape[0]
+    x = _normalize(m)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, assign, x)
+        np.add.at(counts, assign, 1)
+        empty = counts == 0
+        sums[empty] = c[empty]
+        c = _normalize(sums)
+    return c
+
+
+def kmeans_fit_distributed(make_ds, k: int = 10, iters: int = 8,
+                           fit_sample_cap: int | None = 65536) -> np.ndarray:
+    """Fit k-means centroids; by default on a bounded deterministic
+    sample, optionally with full streaming passes.
+
+    ``fit_sample_cap`` (the 100 TB default, same economics as
+    ann.fit_ivf_centroids): collect the ``cap`` rows with smallest
+    splitmix64(vec_id) in ONE corpus pass and run Lloyd's on the driver
+    — centroid QUALITY saturates far below corpus size, while full-pass
+    fitting costs ``iters`` x corpus I/O just to move centroids. The
+    caller then spends exactly one more pass on assignment. Set
+    ``fit_sample_cap=None`` for exact full-corpus passes (mergeable
+    k x d statistics per batch — the driver never holds more than the
+    per-block partials): one streaming pass per iteration.
 
     ``make_ds`` is a zero-arg callable returning a fresh Dataset of
     (vec_id, embedding) — re-created per pass so no full-corpus
@@ -101,7 +153,13 @@ def kmeans_fit_distributed(make_ds, k: int = 10, iters: int = 8) -> np.ndarray:
     streams from storage; only the k x d statistics ever concentrate).
     Fixed ``iters`` (not a convergence test) keeps the pass count — and
     therefore the result — independent of float summation noise.
+
+    When the corpus is <= ``fit_sample_cap`` the sample IS the corpus
+    and both paths agree to summation-grouping float noise (pytest:
+    tests/test_cluster.py).
     """
+    if fit_sample_cap is not None:
+        return _fit_on_sample(make_ds, k, iters, fit_sample_cap)
     c = _init_centroids(make_ds(), k)
     if c.size == 0:
         raise ValueError(

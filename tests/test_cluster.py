@@ -224,3 +224,47 @@ def test_embedding_stages_tolerate_empty_blocks(ray_session):
         batch_format="pyarrow", concurrency=2, num_cpus=0.5)
     top = final_topk(partials, 5).to_pandas()
     assert len(top) == 10
+
+
+def test_kmeans_sample_fit_equals_full_fit_when_corpus_fits(ray_session):
+    """Default (sample-capped) fit and full streaming-pass fit must
+    agree when the corpus is below the cap — the sample IS the corpus,
+    only float summation grouping differs."""
+    from socialmapper_ray.stages import cluster as cl
+
+    got_sample = cl.kmeans_fit_distributed(_read(4), k=6, iters=4)
+    got_full = cl.kmeans_fit_distributed(_read(4), k=6, iters=4,
+                                         fit_sample_cap=None)
+    assert np.allclose(got_sample, got_full, atol=1e-9)
+
+
+def test_kmeans_sample_fit_capped_is_deterministic(ray_session):
+    """With a cap SMALLER than the corpus the fit must be
+    layout-independent and repeat-identical (sample membership is a
+    pure function of vec_id), and still produce unit-norm centroids."""
+    from socialmapper_ray.stages import cluster as cl
+
+    c1 = cl.kmeans_fit_distributed(_read(1), k=4, iters=3,
+                                   fit_sample_cap=100)
+    c7 = cl.kmeans_fit_distributed(_read(7), k=4, iters=3,
+                                   fit_sample_cap=100)
+    assert np.array_equal(c1, c7)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # a capped fit differs from the full-corpus fit input-wise but the
+    # assignment over the whole corpus still covers every row
+    a = cl.assign_clusters(_read(4)(), c1).to_pandas()
+    assert len(a) == 500 and a["cluster"].between(0, 3).all()
+
+
+def test_dup_shingles_hash_key_equals_string_key(ray_session):
+    """The default 64-bit-hash exchange key must produce output
+    identical to the oracle-exact string-keyed mode (collisions at test
+    scale are astronomically unlikely; this pins the plumbing)."""
+    from socialmapper_ray.pipelines import textops as tp
+
+    sf = "/root/testdata/sf0.01"
+    hashed = tp.dup_shingles_q(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exact = tp.dup_shingles_q(sf, oracle_exact=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert hashed.equals(exact)
