@@ -704,7 +704,17 @@ def choropleth_raster_q(sf_dir: str, width: int = 256, height: int = 256,
                          dtype=np.int64)
     colors = raster.class_colors(classes)
     img = raster.render_zones(polyset, colors, width=width, height=height)
-    png = raster.png_encode(img)
+    # the exported artifact carries the reference's annotation surface
+    # (title + classed legend, ref chloropleth.py:122-196 /
+    # pipeline/map.py:24-120) composited from the embedded bitmap font;
+    # the HISTOGRAM below stays on the un-annotated raster — it is the
+    # numeric shadow of the MAP, not of the legend pixels
+    legend = [(f"Q{k}", tuple(raster.PALETTE_YLORBR[k - 1]))
+              for k in range(1, n_classes + 1)]
+    legend.append(("MISSING", tuple(raster.MISSING_RGB)))
+    annotated = raster.annotate_choropleth(
+        img, "TOTAL POPULATION BY ZONE (QUANTILES)", legend)
+    png = raster.png_encode(annotated)
     out_dir = "/tmp/smray_artifacts"
     os.makedirs(out_dir, exist_ok=True)
     tag = hashlib.sha256(d.encode()).hexdigest()[:10]

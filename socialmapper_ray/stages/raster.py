@@ -262,3 +262,123 @@ def class_colors(classes: np.ndarray,
     valid = (c >= 1) & (c <= len(palette))
     out[valid] = palette[c[valid] - 1]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Annotation compositing: 5x7 bitmap font, title + classed legend
+# (the reference's legend/title/label surface, chloropleth.py:122-196 +
+# pipeline/map.py:24-120, drawn into the RGB array without matplotlib)
+# ---------------------------------------------------------------------------
+
+#: classic 5x7 glyphs, 7 rows of 5-bit masks (MSB = leftmost column).
+FONT_5X7: dict[str, tuple[int, ...]] = {
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0E),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x19, 0x15, 0x13, 0x11, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    " ": (0, 0, 0, 0, 0, 0, 0),
+    ".": (0, 0, 0, 0, 0, 0x0C, 0x0C),
+    ",": (0, 0, 0, 0, 0x0C, 0x04, 0x08),
+    "-": (0, 0, 0, 0x1F, 0, 0, 0),
+    ":": (0, 0x0C, 0x0C, 0, 0x0C, 0x0C, 0),
+    "%": (0x18, 0x19, 0x02, 0x04, 0x08, 0x13, 0x03),
+    "(": (0x02, 0x04, 0x08, 0x08, 0x08, 0x04, 0x02),
+    ")": (0x08, 0x04, 0x02, 0x02, 0x02, 0x04, 0x08),
+    "<": (0x02, 0x04, 0x08, 0x10, 0x08, 0x04, 0x02),
+    ">": (0x08, 0x04, 0x02, 0x01, 0x02, 0x04, 0x08),
+    "=": (0, 0x1F, 0, 0x1F, 0, 0, 0),
+    "_": (0, 0, 0, 0, 0, 0, 0x1F),
+    "/": (0x01, 0x01, 0x02, 0x04, 0x08, 0x10, 0x10),
+}
+
+#: glyph cell geometry: 5 columns + 1 spacing, 7 rows
+_GW, _GH = 6, 7
+
+
+def draw_text(img: np.ndarray, x: int, y: int, text: str,
+              color=(0, 0, 0), scale: int = 1) -> int:
+    """Blit ``text`` into ``img`` (in place) at top-left (x, y).
+
+    Lowercase maps to uppercase (the font is caps-only); characters
+    without a glyph render as space. Pixels outside the image clip
+    silently. Returns the x coordinate after the last glyph.
+    """
+    h, w = img.shape[:2]
+    col = np.asarray(color, dtype=np.uint8)
+    for ch in text:
+        g = FONT_5X7.get(ch) or FONT_5X7.get(ch.upper()) or FONT_5X7[" "]
+        for r, bits in enumerate(g):
+            for c in range(5):
+                if bits & (1 << (4 - c)):
+                    yy0 = y + r * scale
+                    xx0 = x + c * scale
+                    yy1, xx1 = min(yy0 + scale, h), min(xx0 + scale, w)
+                    if yy0 < h and xx0 < w and yy0 >= 0 and xx0 >= 0:
+                        img[yy0:yy1, xx0:xx1] = col
+        x += _GW * scale
+    return x
+
+
+def annotate_choropleth(img: np.ndarray, title: str,
+                        entries: list[tuple[str, tuple[int, int, int]]],
+                        margin: int = 4,
+                        title_scale: int = 2) -> np.ndarray:
+    """Composite a TITLE (top-left) and a classed LEGEND (bottom-left:
+    outlined color swatch + label per class) into a rendered choropleth
+    — the annotation surface the reference draws with matplotlib
+    (ref chloropleth.py:122-196 legend/classed labels,
+    pipeline/map.py:24-120 title) — using only the embedded bitmap
+    font. Returns a NEW array; deterministic for fixed input
+    (golden-hash pytest). The title scale steps down (min 1) until the
+    text fits the image width rather than clipping mid-word."""
+    out = img.copy()
+    while title_scale > 1 and \
+            margin + len(title) * _GW * title_scale > out.shape[1]:
+        title_scale -= 1
+    draw_text(out, margin, margin, title, scale=title_scale)
+    sw = 10                       # swatch square
+    line_h = max(sw, _GH) + 4
+    y0 = out.shape[0] - margin - len(entries) * line_h
+    for i, (label, rgb) in enumerate(entries):
+        y = y0 + i * line_h
+        y1, x0, x1 = y + sw, margin, margin + sw
+        out[y:y1, x0:x1] = np.asarray(rgb, dtype=np.uint8)
+        # 1-px black outline so light swatches read on the background
+        out[y, x0:x1] = 0
+        out[y1 - 1, x0:x1] = 0
+        out[y:y1, x0] = 0
+        out[y:y1, x1 - 1] = 0
+        draw_text(out, x1 + 4, y + (sw - _GH) // 2 + 1, label)
+    return out

@@ -176,3 +176,40 @@ def test_png_decode_rejects_unsupported():
         raster.png_decode(bad)
     with pytest.raises(ValueError, match="not a PNG"):
         raster.png_decode(b"JFIF....")
+
+
+# ---------------------------------------------------------------------------
+# Annotation compositing (title + classed legend, bitmap font)
+# ---------------------------------------------------------------------------
+
+def test_annotate_choropleth_golden_hash():
+    """Byte-deterministic legend/title compositing: fixed input ->
+    pinned PNG sha256 (re-pin deliberately if the font or layout
+    changes)."""
+    import hashlib
+
+    img = np.full((120, 220, 3), 255, np.uint8)
+    img[40:80, 60:160] = raster.PALETTE_YLORBR[2]
+    out = raster.annotate_choropleth(
+        img, "TEST MAP 0123456789",
+        [("Q1 (LOW)", tuple(raster.PALETTE_YLORBR[0])),
+         ("Q5 (HIGH)", tuple(raster.PALETTE_YLORBR[4])),
+         ("MISSING", tuple(raster.MISSING_RGB))])
+    # input untouched (annotate returns a copy)
+    assert (img[0:10, 0:10] == 255).all()
+    png = raster.png_encode(out)
+    digest = hashlib.sha256(png).hexdigest()
+    assert raster.png_decode(png).shape == (120, 220, 3)
+    assert digest == GOLDEN_ANNOTATED_SHA256
+
+
+GOLDEN_ANNOTATED_SHA256 = \
+    "624fdfbc75f5292bf9efff51d725c8cf3683664fe43fb48bde57ad8f1a4367c8"
+
+
+def test_draw_text_clips_and_advances():
+    img = np.full((10, 20, 3), 255, np.uint8)
+    # text larger than the image must clip, not raise
+    x_end = raster.draw_text(img, 2, 2, "WWWW", scale=3)
+    assert x_end == 2 + 4 * 6 * 3
+    assert (img != 255).any()
