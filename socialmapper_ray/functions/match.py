@@ -9,13 +9,16 @@ automaton scan is inherently sequential Python, so this module uses the
 numpy-native equivalent with the same complexity: **vectorized
 Rabin-Karp** (Karp & Rabin 1987) —
 
-- snippet hashes index into sorted per-length tables (build once per
-  actor, the automaton analogue);
+- snippet ANCHOR hashes (the first 2^k bytes, 2^k <= len) index into
+  sorted per-width tables (build once per actor, the automaton
+  analogue);
 - ONE vectorized rolling-hash pass over the batch's concatenated bytes
-  per distinct snippet LENGTH (lengths are few: benchmark snippets are
-  fixed-window extracts), each O(corpus) independent of K;
-- hash hits (rare) verify by exact byte comparison, so output is exact
-  — hash width is 64 bits, collisions only cost a verify.
+  per distinct anchor WIDTH — at most log2(max_len) passes no matter
+  how many distinct lengths the pattern set has — each O(corpus)
+  independent of K;
+- anchor hits (rare) verify the FULL pattern by exact byte comparison,
+  so output is exact — hash width is 64 bits, collisions and shared
+  anchors only cost a verify.
 
 Arithmetic is uint64 wraparound (mod 2^64) with an ODD base, which is
 invertible mod 2^64 — that turns the rolling window into a cumsum of
@@ -44,28 +47,40 @@ def _pattern_hash(pat: bytes) -> np.uint64:
 
 
 class SnippetMatcher:
-    """Build once (per actor), scan many batches — each scan is one
-    rolling-hash pass per distinct snippet length over the batch."""
+    """Build once (per actor), scan many batches.
+
+    Patterns bucket by ANCHOR width — the largest power of two <= the
+    pattern length — and each scan is ONE rolling-hash pass per
+    distinct anchor width over the batch, hashing every pattern's
+    FIRST ``w`` bytes. Anchor hits (rare, 64-bit) verify the FULL
+    pattern bytes, so output is exact. Passes are therefore bounded by
+    log2(max_len) (~a dozen) REGARDLESS of how many distinct lengths
+    the pattern set has — the pre-r4 one-pass-per-distinct-length form
+    degraded linearly on mixed-length sets (a 100-length set cost 100
+    corpus passes; now <= 7 for lengths under 128 bytes). Cost
+    envelope pytest: tests/test_match.py."""
 
     def __init__(self, snippets):
         """snippets: iterable of (snip_id, str-or-bytes). Empty
         snippets are ignored (they'd match everywhere)."""
-        by_len: dict[int, list[tuple[int, bytes]]] = {}
+        by_w: dict[int, list[tuple[int, bytes]]] = {}
         for sid, s in snippets:
             b = s.encode() if isinstance(s, str) else bytes(s)
             if b:
-                by_len.setdefault(len(b), []).append((int(sid), b))
+                w = 1 << (len(b).bit_length() - 1)   # 2^k <= len < 2^k+1
+                by_w.setdefault(w, []).append((int(sid), b))
         self.tables: dict[int, tuple[np.ndarray, np.ndarray, list[bytes]]] = {}
-        for ln, items in by_len.items():
-            hashes = np.asarray([_pattern_hash(b) for _, b in items],
+        for w, items in by_w.items():
+            hashes = np.asarray([_pattern_hash(b[:w]) for _, b in items],
                                 dtype=np.uint64)
             order = np.argsort(hashes, kind="stable")
-            self.tables[ln] = (
+            self.tables[w] = (
                 hashes[order],
                 np.asarray([items[i][0] for i in order], dtype=np.int64),
                 [items[i][1] for i in order],
             )
-        self.max_len = max(self.tables, default=0)
+        self.max_len = max((max(len(b) for _, b in items)
+                            for items in by_w.values()), default=0)
 
     def find_in_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """texts: sequence of str. Returns (row_idx, snip_id) int64
@@ -94,31 +109,34 @@ class SnippetMatcher:
         data_b = data.tobytes()
 
         out_rows, out_sids = [], []
-        for ln, (hsorted, sids, pats) in self.tables.items():
-            if ln > n:
+        for w, (hsorted, sids, pats) in self.tables.items():
+            if w > n:
                 continue
-            win = S[ln - 1:].copy()
-            win[1:] -= S[:n - ln]                    # raw window sums
-            H = win * powb[ln - 1:]                  # exponent-aligned
+            win = S[w - 1:].copy()
+            win[1:] -= S[:n - w]                     # raw window sums
+            H = win * powb[w - 1:]                   # exponent-aligned
             pos = np.searchsorted(hsorted, H)
             pos_c = np.minimum(pos, len(hsorted) - 1)
             cand = np.flatnonzero(hsorted[pos_c] == H)
             if len(cand) == 0:
                 continue
-            # candidates must not straddle a document boundary
+            # anchor must not straddle a document boundary (the full
+            # pattern's fit is re-checked per pattern in the verify)
             doc = np.searchsorted(ends, cand, side="right")
-            inside = cand + ln <= ends[doc]
+            inside = cand + w <= ends[doc]
             cand, doc = cand[inside], doc[inside]
             if len(cand) == 0:
                 continue
             tbl_i = pos_c[cand]
-            # runs of equal hash in the table: expand to every snippet
-            # sharing the hash (duplicate snippet strings are distinct ids)
+            # runs of equal anchor hash in the table: expand to every
+            # snippet sharing it (duplicate strings are distinct ids;
+            # same-anchor different-tail patterns share a bucket entry)
             for start, ti, dc in zip(cand, tbl_i, doc):
-                seg = data_b[start: start + ln]
                 j = ti
                 while j < len(hsorted) and hsorted[j] == hsorted[ti]:
-                    if pats[j] == seg:               # exact verify
+                    p = pats[j]
+                    if start + len(p) <= ends[dc] \
+                            and data_b[start: start + len(p)] == p:
                         out_rows.append(int(dc))
                         out_sids.append(int(sids[j]))
                     j += 1

@@ -115,3 +115,52 @@ def test_decontaminate_query_matches_oracle(ray_session, tmp_path):
         .sort_values(["doc_id", "snip_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype(np.int64), want.astype(np.int64))
+
+
+def test_many_distinct_lengths_cost_envelope():
+    """~100 distinct snippet lengths must bucket into <= log2(max_len)
+    scan passes (the pre-r4 per-length form did 100 passes), and the
+    matcher must stay exact across mixed lengths."""
+    import time
+
+    rng = np.random.default_rng(11)
+    # 100 snippets, lengths 8..107 — all distinct
+    snips = []
+    for i in range(100):
+        ln = 8 + i
+        s = "".join(chr(97 + c) for c in rng.integers(0, 26, ln))
+        snips.append((i, s))
+    m = SnippetMatcher(snips)
+    # bucketed: lengths 8..107 span widths {8,16,32,64} only
+    assert set(m.tables) <= {8, 16, 32, 64}
+    assert len(m.tables) <= 4
+
+    # plant snippets 3, 50, 99 into docs; add noise docs
+    docs = ["xx " + snips[3][1] + " yy",
+            snips[50][1],
+            "aaa" + snips[99][1],
+            "no match here at all"] + \
+           ["".join(chr(97 + c) for c in rng.integers(0, 26, 200))
+            for _ in range(50)]
+    rows, sids = m.find_in_batch(docs)
+    got = set(zip(rows.tolist(), sids.tolist()))
+    assert {(0, 3), (1, 50), (2, 99)} <= got
+    # exactness: brute-force oracle over every (doc, snippet)
+    want = {(r, i) for r, d in enumerate(docs)
+            for i, s in snips if s in d}
+    assert got == want
+
+    # cost envelope: scan time is flat in #distinct lengths — compare
+    # 100-length set vs a single-length set of the same pattern count
+    docs_big = ["".join(chr(97 + c) for c in rng.integers(0, 26, 2000))
+                for _ in range(200)]
+    one_len = [(i, "".join(chr(97 + c) for c in rng.integers(0, 26, 32)))
+               for i in range(100)]
+    m1 = SnippetMatcher(one_len)
+    t0 = time.perf_counter(); m.find_in_batch(docs_big)
+    t_many = time.perf_counter() - t0
+    t0 = time.perf_counter(); m1.find_in_batch(docs_big)
+    t_one = time.perf_counter() - t0
+    # <= 4 passes vs 1 pass: allow generous headroom for noise, but a
+    # per-length implementation (100 passes) cannot pass this bound
+    assert t_many < 12 * max(t_one, 1e-3)
