@@ -56,6 +56,67 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_exact_edges_q(sf_dir: str, salt_buckets: int = 8):
+    """Exact-duplicate STAR EDGES (a=representative, b=member) — the
+    exact half of the collapsed near-dup graph (stages/dedup.py
+    ``exact_star_edges``), driven through the gate with a SQL oracle.
+
+    The documents table has no exact copies, so the query injects a
+    deterministic duplicate pattern (every 3rd doc copied at +100000,
+    every 7th at +200000) IDENTICALLY on both sides. The engine's
+    two-level star-of-stars structure — (h64, doc_id % salt) local
+    stars, then per-text rep stars — is replicated literally in SQL,
+    so the edge SET matches row-for-row, not just its components.
+    """
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy(np.int64)
+        parts = [df]
+        m3 = ids % 3 == 0
+        parts.append(pd.DataFrame({"doc_id": ids[m3] + 100000,
+                                   "text": df["text"].to_numpy()[m3]}))
+        m7 = ids % 7 == 0
+        parts.append(pd.DataFrame({"doc_id": ids[m7] + 200000,
+                                   "text": df["text"].to_numpy()[m7]}))
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    corpus = ds.map_batches(inject, batch_format="pyarrow")
+    edges = dedup_mod.exact_star_edges(corpus, salt_buckets=salt_buckets)
+    return edges.map_batches(
+        lambda df: pd.DataFrame({"a": df["a"].astype(np.int64),
+                                 "b": df["b"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+DEDUP_EXACT_EDGES_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+l1 AS (
+  SELECT text, doc_id % 8 AS salt, MIN(doc_id) AS local_rep
+  FROM d GROUP BY text, doc_id % 8),
+reps AS (SELECT text, MIN(local_rep) AS rep FROM l1 GROUP BY text)
+SELECT CAST(l1.local_rep AS BIGINT) AS a, CAST(d.doc_id AS BIGINT) AS b
+FROM d JOIN l1 ON d.text = l1.text AND d.doc_id % 8 = l1.salt
+WHERE d.doc_id <> l1.local_rep
+UNION ALL
+SELECT CAST(r.rep AS BIGINT) AS a, CAST(l1.local_rep AS BIGINT) AS b
+FROM l1 JOIN reps r USING (text)
+WHERE l1.local_rep <> r.rep
+"""
+
+
 def minhash_pairs_q(sf_dir: str, threshold: float = 0.35):
     """LSH candidates -> exact-Jaccard verified near-dup pairs.
 

@@ -343,3 +343,33 @@ def test_verify_distributed_dirty_duplicate_doc_ids(ray_session):
         .to_pandas()
     # texts of 1 vs 2 and 1 vs 3 share nothing: no pair may survive
     assert len(got) == 0
+
+
+def test_exact_star_edges_components_equal_direct_star(ray_session):
+    """The salted star-of-stars must connect exactly the copies of each
+    text (same components as a one-level star / all-pairs), with edge
+    volume n_copies - n_texts."""
+    import ray.data as rd
+
+    texts = ["aa bb cc", "dd ee ff", "gg hh ii"]
+    rows = []
+    did = 0
+    for t_i, t in enumerate(texts):
+        for _ in range(t_i * 5 + 1):      # 1, 6, 11 copies
+            rows.append({"doc_id": did, "text": t})
+            did += 1
+    df = pd.DataFrame(rows)
+    edges = dedup.exact_star_edges(
+        rd.from_pandas(df).repartition(4), salt_buckets=3) \
+        .to_pandas()
+    assert len(edges) == len(df) - len(texts)
+    # components via the in-memory CC: every text's copies share one
+    # component rooted at the min doc_id
+    nodes = np.unique(np.concatenate([edges["a"], edges["b"],
+                                      df["doc_id"].to_numpy()]))
+    comp = dedup.connected_components(edges, nodes.astype(np.int64))
+    lab = dict(zip(comp["node"], comp["component"]))
+    for t in texts:
+        ids = df.loc[df["text"] == t, "doc_id"].to_numpy()
+        labs = {lab[i] for i in ids}
+        assert labs == {ids.min()}
