@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": rel.funnel_counts,
         "zone_area_stats": sp.zone_area_stats_q,
         "dedup_exact_edges": tp.dedup_exact_edges_q,
+        "url_dedup": tp.url_dedup_q,
     }
 
 
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs_hash": tp.SAMPLE_DOCS_HASH_SQL,
         "dedup_exact": tp.DEDUP_EXACT_SQL,
         "dedup_exact_edges": tp.DEDUP_EXACT_EDGES_SQL,
+        "url_dedup": tp.url_dedup_sql(d),
         "dedup_exact_salted": tp.DEDUP_EXACT_SQL,
         "text_quality": tp.text_quality_sql(),
         "text_repetition": tp.TEXT_REPETITION_SQL,

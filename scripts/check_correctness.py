@@ -120,6 +120,7 @@ def main():
                      # same doc count but different texts: a stale
                      # sf0.01 path passes rows and fails sum_chars)
                      ("domain_stats", tp.domain_stats_sql),
+                     ("url_dedup", tp.url_dedup_sql),
                      ("zone_area_stats", sp.zone_area_stats_sql)):
         oracles[name] = fn(d)
 

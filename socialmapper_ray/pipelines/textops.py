@@ -969,6 +969,93 @@ FROM documents
 """
 
 
+def url_dedup_q(sf_dir: str):
+    """URL-normalization dedup — the crawl-frontier staple: strip the
+    fragment and query string, lowercase scheme://host (RFC 3986 §6.2.2
+    case normalization; path case is significant and kept), drop
+    trailing slashes, then keep one row per normalized URL.
+
+    The synth pages world has clean unique URLs, so the query injects
+    deterministic variants IDENTICALLY on both sides (every 3rd page a
+    '#section' copy, every 5th a '?utm_source=feed' copy, every 7th an
+    UPPERCASED-host copy with a trailing '/') — the oracle then checks
+    the normalizer's actual behavior, not a no-op. Output:
+    (norm_url, keep_url = lexicographic min variant, n_variants).
+    One keyed exchange (Arrow-block groupby; exact_dedup shape).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Min
+
+    from ..sources import synth
+    from ..util import read_parquet_clean
+
+    synth.ensure_synth(sf_dir)
+    pages = read_parquet_clean(
+        synth.table_path(sf_dir, "pages"), columns=["url"])
+
+    def inject_and_normalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        num = df["url"].str[-10:].astype(np.int64)
+        urls = [df["url"]]
+        urls.append(df["url"][num % 3 == 0] + "#section")
+        urls.append(df["url"][num % 5 == 0] + "?utm_source=feed")
+        m7 = num % 7 == 0
+        ph = df["url"][m7].str.extract(r"^([a-zA-Z]+://[^/]*)(.*)$")
+        urls.append(ph[0].str.upper() + ph[1] + "/")
+        s = pd.concat(urls, ignore_index=True)
+        base = s.str.split("#").str[0].str.split("?").str[0]
+        parts = base.str.extract(r"^([a-zA-Z]+://[^/]*)(.*)$")
+        norm = parts[0].str.lower() \
+            + parts[1].str.replace(r"/+$", "", regex=True)
+        return pa.table({"url": pa.array(s, pa.string()),
+                         "norm_url": pa.array(norm, pa.string())})
+
+    agg = pages.map_batches(inject_and_normalize, batch_format="pyarrow") \
+        .groupby("norm_url").aggregate(
+            Min("url", alias_name="keep_url"),
+            Count(alias_name="n_variants"))
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "norm_url": df["norm_url"],
+            "keep_url": df["keep_url"],
+            "n_variants": df["n_variants"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def url_dedup_sql(d: str) -> str:
+    return f"""
+    WITH p AS (SELECT url FROM read_parquet('{d}/pages.parquet/*.parquet')),
+    v AS (
+      SELECT url FROM p
+      UNION ALL
+      SELECT url || '#section' FROM p
+      WHERE CAST(right(url, 10) AS BIGINT) % 3 = 0
+      UNION ALL
+      SELECT url || '?utm_source=feed' FROM p
+      WHERE CAST(right(url, 10) AS BIGINT) % 5 = 0
+      UNION ALL
+      SELECT upper(concat(split_part(url, '://', 1), '://',
+                          split_part(split_part(url, '://', 2), '/', 1)))
+             || substr(url, length(concat(split_part(url, '://', 1), '://',
+                       split_part(split_part(url, '://', 2), '/', 1))) + 1)
+             || '/'
+      FROM p WHERE CAST(right(url, 10) AS BIGINT) % 7 = 0),
+    n AS (
+      SELECT url,
+             lower(concat(split_part(b, '://', 1), '://',
+                          split_part(split_part(b, '://', 2), '/', 1)))
+             || regexp_replace(
+                  substr(b, length(concat(split_part(b, '://', 1), '://',
+                         split_part(split_part(b, '://', 2), '/', 1))) + 1),
+                  '/+$', '') AS norm_url
+      FROM (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS b
+            FROM v))
+    SELECT norm_url, MIN(url) AS keep_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM n GROUP BY norm_url
+    """
+
+
 def domain_stats_q(sf_dir: str):
     """Per-domain rollup over the page stream (the crawl-curation
     'host budget' view: pages and text volume per registered host).
