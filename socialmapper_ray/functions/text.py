@@ -185,7 +185,8 @@ def doc_fingerprint_scalar(t: str, shingle_k: int = 3) -> np.uint64:
     return np.uint64(splitmix64(acc).min())
 
 
-def doc_fingerprint(text: pd.Series, shingle_k: int = 3) -> pd.Series:
+def doc_fingerprint(text: pd.Series, shingle_k: int = 3,
+                    token_hashes=None) -> pd.Series:
     """64-bit rolling-shingle fingerprint: min over word-k-shingle hashes.
 
     Deterministic content fingerprint (cheap near-dup prefilter); the
@@ -199,7 +200,8 @@ def doc_fingerprint(text: pd.Series, shingle_k: int = 3) -> pd.Series:
     from ..sources.synth import splitmix64
 
     texts = text.tolist()
-    th_flat, tsegs = batch_token_hashes(texts)
+    th_flat, tsegs = token_hashes if token_hashes is not None else \
+        batch_token_hashes(texts)
     k = shingle_k
     parts = []
     seg_lens = []

@@ -211,7 +211,8 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
     return out
 
 
-def minhash_signatures_batch(texts: pd.Series, k: int = 3) -> np.ndarray:
+def minhash_signatures_batch(texts: pd.Series, k: int = 3,
+                             token_hashes=None) -> np.ndarray:
     """(n, NUM_PERM) uint64 — fully vectorized over the batch.
 
     One pass builds all token hashes, one rolling combine builds all
@@ -221,8 +222,11 @@ def minhash_signatures_batch(texts: pd.Series, k: int = 3) -> np.ndarray:
     exactly (min is insensitive to the duplicate shingles we skip
     deduplicating here).
     """
-    th_flat, tsegs = _batch_token_hashes(
-        texts.tolist() if hasattr(texts, "tolist") else list(texts))
+    # token_hashes: optional precomputed (flat crc32s, segments) so a
+    # multi-signature stage tokenizes ONCE per batch (features.py)
+    th_flat, tsegs = token_hashes if token_hashes is not None else \
+        _batch_token_hashes(
+            texts.tolist() if hasattr(texts, "tolist") else list(texts))
     from ..sources.synth import splitmix64
 
     # raw rolling accumulators per doc; the splitmix64 finalizer is
@@ -1230,7 +1234,7 @@ def minhash_dedup_keep_distributed(ds, id_col: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(texts: pd.Series) -> np.ndarray:
+def simhash64(texts: pd.Series, token_hashes=None) -> np.ndarray:
     """64-bit SimHash over whitespace tokens (crc32 -> splitmix64 bits).
 
     Vectorized across the batch: all token hashes concatenate into one
@@ -1241,23 +1245,37 @@ def simhash64(texts: pd.Series) -> np.ndarray:
     from ..sources.synth import splitmix64
 
     n = len(texts)
-    flat, segs = _batch_token_hashes(texts.tolist())
+    flat, segs = token_hashes if token_hashes is not None else \
+        _batch_token_hashes(texts.tolist())
     if segs[-1] == 0:
         return np.zeros(n, dtype=np.uint64)
     h = splitmix64(flat)
     bit_idx = np.arange(64, dtype=np.uint64)
-    signs = (((h[:, None] >> bit_idx[None, :]) & np.uint64(1))
-             .astype(np.int64) * 2 - 1)                    # (T, 64)
-    # empty docs produce a zero-length segment; reduceat can't express
-    # those directly, so compute on the padded index list and zero after
-    starts = np.minimum(segs[:-1], segs[-1] - 1)
-    sums = np.add.reduceat(signs, starts, axis=0)          # (n, 64)
     lens = segs[1:] - segs[:-1]
-    bits = (sums > 0).astype(np.uint64)
-    out = (bits << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
-    # empty docs: their reduceat range degenerates to a single stray
-    # element — zero them (neighbouring rows are unaffected: reduceat
-    # ranges end at the *next* index, which is still correct for them)
+    out = np.empty(n, dtype=np.uint64)
+    # chunk at doc boundaries: the (tokens, 64) sign matrix over the
+    # whole batch streams DRAM under task concurrency (the same
+    # bandwidth wall _universal_min hit — 70x solo->concurrent there);
+    # ~16k-token blocks keep the intermediate ~8 MB / cache-resident
+    chunk_tokens = 1 << 14
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and segs[j + 1] - segs[i] <= chunk_tokens:
+            j += 1
+        sl = h[segs[i]:segs[j]]
+        if len(sl) == 0:                       # all-empty docs
+            out[i:j] = np.uint64(0)
+            i = j
+            continue
+        signs = (((sl[:, None] >> bit_idx[None, :]) & np.uint64(1))
+                 .astype(np.int64) * 2 - 1)    # (t, 64)
+        # empty docs degenerate to a stray element; zeroed below
+        starts = np.minimum(segs[i:j] - segs[i], len(sl) - 1)
+        sums = np.add.reduceat(signs, starts, axis=0)
+        bits = (sums > 0).astype(np.uint64)
+        out[i:j] = (bits << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+        i = j
     out[lens == 0] = np.uint64(0)
     return out
 

@@ -25,7 +25,12 @@ from . import dedup
 def text_features_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     texts = tbl[text_col].to_pylist()
     s = pd.Series(texts, dtype=object)
-    sigs = dedup.minhash_signatures_batch(texts)
+    # tokenize + crc32 ONCE per batch; every signature kernel consumes
+    # the same (flat hashes, segments) — this stage previously ran the
+    # python tokenizer THREE times per batch (minhash, simhash,
+    # fingerprint), the dominant cost of a corpus pass
+    th = dedup._batch_token_hashes(texts)
+    sigs = dedup.minhash_signatures_batch(texts, token_hashes=th)
     rows_per_band = dedup.NUM_PERM // dedup.LSH_BANDS
     # first LSH band hash as a compact near-dup blocking key
     seg = sigs[:, :rows_per_band]
@@ -34,11 +39,15 @@ def text_features_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
         acc = (acc ^ seg[:, r]) * np.uint64(1099511628211)
     cols = {name: tbl[name] for name in tbl.column_names}
     cols["minhash_band0"] = pa.array(acc, pa.uint64())
-    cols["simhash"] = pa.array(dedup.simhash64(s).astype(np.uint64),
-                               pa.uint64())
+    cols["simhash"] = pa.array(
+        dedup.simhash64(s, token_hashes=th).astype(np.uint64),
+        pa.uint64())
     cols["fingerprint"] = pa.array(
-        tx.doc_fingerprint(s).to_numpy(dtype=np.uint64), pa.uint64())
-    cols["token_count"] = pa.array(tx.token_count(s).to_numpy(), pa.int64())
+        tx.doc_fingerprint(s, token_hashes=th).to_numpy(dtype=np.uint64),
+        pa.uint64())
+    # token_count == segment lengths of the shared tokenization (both
+    # define tokens as the whitespace split of non-empty trimmed text)
+    cols["token_count"] = pa.array(th[1][1:] - th[1][:-1], pa.int64())
     cols["stop_count"] = pa.array(tx.stopword_count(s).to_numpy(), pa.int64())
     cols["alpha_ratio_ppm"] = pa.array(tx.alpha_ratio_scaled(s).to_numpy(),
                                        pa.int64())
