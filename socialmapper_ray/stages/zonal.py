@@ -75,13 +75,18 @@ def zonal_counts(join_ds, value_col: str | None = None,
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def combine_bucket(g: pd.DataFrame) -> pa.Table:
+        # Arrow out with explicit types: a sort's empty reduce blocks
+        # otherwise surface as schema-less pandas blocks and trip Ray's
+        # per-bundle schema check at scale
         agg_cols = ["n", "v"] if value_col else ["n"]
         c = g.groupby(zone_col, sort=False)[agg_cols].sum().reset_index()
-        out = {zone_col: c[zone_col], "n_pois": c["n"]}
+        cols = {zone_col: pa.array(c[zone_col]),
+                "n_pois": pa.array(c["n"].to_numpy(dtype=np.int64))}
         if value_col:
-            out[f"sum_{value_col}"] = c["v"]
-        return pd.DataFrame(out)
+            # dtype-preserving: the value column may be float
+            cols[f"sum_{value_col}"] = pa.array(c["v"].to_numpy())
+        return pa.table(cols)
 
     partials = join_ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("__zb").map_groups(combine_bucket,
