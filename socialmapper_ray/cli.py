@@ -57,8 +57,21 @@ def main(argv=None) -> int:
     corpus.add_argument("--num-cpus", type=int, default=None)
 
     sub.add_parser("list-ops", help="list queries()/oracle coverage")
+    sub.add_parser("list-variables",
+                   help="census variables + calculated composites "
+                        "(reference cli.py --list-variables)")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "list-variables":
+        # reference cli.py:39-180 prints the census variable catalog;
+        # here the catalog is the enrichment stage's variable table
+        # (ref variable_service.py:26-43 semantics) — no live API needed
+        from socialmapper_ray.stages.enrich import CALCULATED_VARIABLES
+
+        for name, codes in sorted(CALCULATED_VARIABLES.items()):
+            print(f"{name:28s} = {' + '.join(codes)}")
+        return 0
 
     if args.cmd == "list-ops":
         sys.path.insert(0, os.path.dirname(os.path.dirname(

@@ -40,3 +40,12 @@ def test_run_exports(ray_session, capsys):
     import ray.data as rd
 
     assert rd.read_parquet(OUT).count() > 0
+
+
+def test_cli_list_variables(capsys):
+    from socialmapper_ray import cli
+
+    assert cli.main(["list-variables"]) == 0
+    out = capsys.readouterr().out
+    assert "total_population" in out and "B01003_001E" in out
+    assert "households_no_vehicle" in out and "B25044_010E" in out
