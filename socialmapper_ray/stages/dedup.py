@@ -465,6 +465,11 @@ def exact_star_edges(ds, id_col: str = "doc_id", text_col: str = "text",
 
     lvl1 = rows.groupby("__b").map_groups(level1, batch_format="pandas") \
         .materialize()
+    if lvl1.count() == 0:                    # empty corpus: no edges
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
     edges1 = lvl1.filter(expr="kind == 0").select_columns(["a", "b"])
 
     def mark_bucket(t: pa.Table) -> pa.Table:
@@ -1143,9 +1148,13 @@ def minhash_dedup_keep(ds, id_col: str = "doc_id", text_col: str = "text",
     verified = verify_pairs_distributed(
         cands, ds, id_col=id_col, text_col=text_col, threshold=threshold)
     exact_edges = exact_star_edges(ds, id_col=id_col, text_col=text_col)
-    vdf = pd.concat(
-        [verified.to_pandas()[["a", "b"]], exact_edges.to_pandas()],
-        ignore_index=True)
+    parts = []
+    for frame in (verified.to_pandas(), exact_edges.to_pandas()):
+        if len(frame):                 # empty Datasets come back col-less
+            parts.append(frame[["a", "b"]])
+    vdf = pd.concat(parts, ignore_index=True) if parts else \
+        pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                      "b": pd.Series(dtype=np.int64)})
     if len(vdf):
         edge_nodes = np.unique(np.concatenate(
             [vdf["a"].to_numpy(), vdf["b"].to_numpy()])).astype(np.int64)

@@ -373,3 +373,27 @@ def test_exact_star_edges_components_equal_direct_star(ray_session):
         ids = df.loc[df["text"] == t, "doc_id"].to_numpy()
         labs = {lab[i] for i in ids}
         assert labs == {ids.min()}
+
+
+def test_collapse_paths_empty_and_singleton_inputs(ray_session):
+    """The r4 collapse machinery must handle degenerate inputs: empty
+    corpus, single doc, and all-unique corpus (no edges, all kept)."""
+    import ray.data as rd
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype=np.int64),
+        "text": pd.Series(dtype=object)}))
+    assert dedup.exact_star_edges(empty).count() == 0
+
+    one = rd.from_pandas(pd.DataFrame({"doc_id": [7], "text": ["solo"]}))
+    assert dedup.exact_star_edges(one).count() == 0
+    keep = dedup.minhash_dedup_keep(one).to_pandas()
+    assert keep["keep"].tolist() == [True]
+
+    uniq = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [f"totally distinct text number {i} with words" * (i + 1)
+                 for i in range(6)]}))
+    assert dedup.exact_star_edges(uniq).count() == 0
+    keep = dedup.minhash_dedup_keep_distributed(uniq).to_pandas()
+    assert keep["keep"].all() and len(keep) == 6
