@@ -316,13 +316,21 @@ def events_hourly(sf_dir: str):
             "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
         }).group_by(["event_type", "hour"]).aggregate(
             [("n", "sum"), ("v", "sum")])
-        return g.rename_columns(["event_type", "hour", "n", "v"])
+        g = g.rename_columns(["event_type", "hour", "n", "v"])
+        # day-bucket key: window cardinality grows with the corpus's
+        # time SPAN, so the final combine must be keyed (a
+        # repartition(1) final's input would be windows x batches)
+        day = pc.cast(pc.floor_temporal(g["hour"], unit="day"),
+                      pa.int64())
+        return g.append_column("__db", day)
+
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__db").groupby(
+            ["event_type", "hour"], sort=False).sum().reset_index()
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(lambda df: df.groupby(
-            ["event_type", "hour"], sort=False).sum().reset_index(),
-            batch_format="pandas", batch_size=None)
+        .groupby("__db").map_groups(combine_bucket,
+                                    batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -482,32 +490,37 @@ def events_median_by_type(sf_dir: str):
     """
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch) -> "pa.Table":
+        # declared-pyarrow: feeds the keyed exchange (module rule)
+        import pyarrow as pa
+
+        df = batch.to_pandas()
         df = df.assign(v=(df["value"] * 10000).round().astype(np.int64))
-        return df.groupby(["event_type", "v"], sort=False) \
-                 .size().reset_index(name="n")
+        g = df.groupby(["event_type", "v"], sort=False) \
+              .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    def med(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.groupby(["event_type", "v"], sort=False)["n"].sum() \
-               .reset_index()
-        rows = []
-        for et, g in df.groupby("event_type", sort=False):
-            g = g.sort_values("v")
-            n = int(g["n"].sum())
-            c = g["n"].cumsum().to_numpy()
-            v = g["v"].to_numpy()
-            if n % 2:
-                m2 = 2 * int(v[np.searchsorted(c, (n + 1) // 2)])
-            else:
-                m2 = int(v[np.searchsorted(c, n // 2)]) \
-                    + int(v[np.searchsorted(c, n // 2 + 1)])
-            rows.append((et, n, m2))
-        return pd.DataFrame(rows, columns=["event_type", "n_events",
-                                           "median_x2_e4"])
+    def med_group(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE group's histogram -> one row; groups combine in parallel
+        # (the pre-r4 repartition(1) funneled every group's histogram —
+        # cardinality tracks distinct e4 values — into a single task)
+        et = g["event_type"].iloc[0]
+        h = g.groupby("v", sort=True)["n"].sum()
+        n = int(h.sum())
+        c = h.cumsum().to_numpy()
+        v = h.index.to_numpy()
+        if n % 2:
+            m2 = 2 * int(v[np.searchsorted(c, (n + 1) // 2)])
+        else:
+            m2 = int(v[np.searchsorted(c, n // 2)]) \
+                + int(v[np.searchsorted(c, n // 2 + 1)])
+        return pd.DataFrame({"event_type": [et], "n_events": [n],
+                             "median_x2_e4": [m2]})
 
-    return ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(med, batch_format="pandas", batch_size=None)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .map_groups(med_group, batch_format="pandas")
 
 
 EVENTS_MEDIAN_SQL = """
@@ -653,25 +666,37 @@ def dedup_events_first(sf_dir: str):
     """
     ds = _read(sf_dir, "events",
                ["user_id", "event_type", "event_id", "value"])
+    n_buckets = 32
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch) -> "pa.Table":
+        # declared-pyarrow: feeds the keyed exchange (module rule)
+        import pyarrow as pa
+
+        df = batch.to_pandas()
         cnt = df.groupby(["user_id", "event_type"], sort=False) \
                 .size().reset_index(name="n")
         first = df.sort_values("event_id", kind="stable") \
                   .drop_duplicates(["user_id", "event_type"], keep="first")
-        return first.merge(cnt, on=["user_id", "event_type"])
+        out = first.merge(cnt, on=["user_id", "event_type"])
+        out["__ub"] = (out["user_id"].to_numpy(np.int64)
+                       % np.int64(n_buckets))
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # one user-hash bucket per call: a (user, type) group lives
+        # wholly inside its bucket, so per-bucket combine is global —
+        # the pre-r4 repartition(1) funneled one row per (group, batch),
+        # unbounded in the user count, into a single task
         cnt = df.groupby(["user_id", "event_type"], sort=False)["n"] \
                 .sum().reset_index()
         first = df.sort_values("event_id", kind="stable") \
                   .drop_duplicates(["user_id", "event_type"], keep="first") \
-                  .drop(columns=["n"])
+                  .drop(columns=["n", "__ub"])
         return first.merge(cnt, on=["user_id", "event_type"])
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(combine, batch_format="pandas", batch_size=None)
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(combine, batch_format="pandas")
     return agg.map_batches(
         lambda df: pd.DataFrame({
             "user_id": df["user_id"].astype(np.int64),
@@ -723,7 +748,9 @@ def events_sliding(sf_dir: str, window_min: int = 30, slide_min: int = 10):
     ds = _read(sf_dir, "events", ["event_type", "ts"])
     n_win = window_min // slide_min
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch) -> "pa.Table":
+        # declared-pyarrow (fuses into the shuffle map phase)
+        df = batch.to_pandas()
         base = df["ts"].dt.floor(f"{slide_min}min")
         parts = []
         for i in range(n_win):
@@ -731,18 +758,31 @@ def events_sliding(sf_dir: str, window_min: int = 30, slide_min: int = 10):
                 "event_type": df["event_type"],
                 "window_start": base - pd.Timedelta(minutes=slide_min * i),
             }))
-        return pd.concat(parts, ignore_index=True)
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["event_type", "window_start"], sort=False) \
-                 .size().reset_index(name="n")
+    def partial(batch) -> "pa.Table":
+        # declared-pyarrow: feeds the keyed exchange (module rule)
+        df = batch.to_pandas()
+        g = df.groupby(["event_type", "window_start"], sort=False) \
+              .size().reset_index(name="n")
+        # day-bucket the combine: window cardinality grows with the
+        # corpus time span, so the final must be keyed, not a
+        # repartition(1) funnel (see events_hourly)
+        g["__db"] = g["window_start"].dt.floor("D").astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    agg = ds.map_batches(explode, batch_format="pandas") \
-        .map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(lambda df: df.groupby(
-            ["event_type", "window_start"], sort=False).sum().reset_index(),
-            batch_format="pandas", batch_size=None)
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__db").groupby(
+            ["event_type", "window_start"], sort=False).sum() \
+            .reset_index()
+
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("__db").map_groups(combine_bucket,
+                                    batch_format="pandas")
     return agg.map_batches(
         lambda df: pd.DataFrame({
             "event_type": df["event_type"],
@@ -1001,29 +1041,34 @@ def events_quartiles_by_type(sf_dir: str):
     scale path is a mergeable quantile sketch (documented trade)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch) -> "pa.Table":
+        # declared-pyarrow: feeds the keyed exchange (module rule)
+        import pyarrow as pa
+
+        df = batch.to_pandas()
         df = df.assign(v=(df["value"] * 10000).round().astype(np.int64))
-        return df.groupby(["event_type", "v"], sort=False) \
-                 .size().reset_index(name="n")
+        g = df.groupby(["event_type", "v"], sort=False) \
+              .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    def quart(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.groupby(["event_type", "v"], sort=False)["n"].sum() \
-               .reset_index()
-        rows = []
-        for et, g in df.groupby("event_type", sort=False):
-            g = g.sort_values("v")
-            n = int(g["n"].sum())
-            c = g["n"].cumsum().to_numpy()
-            v = g["v"].to_numpy()
-            qs = [int(v[np.searchsorted(c, int(np.ceil(q * n)))])
-                  for q in (0.25, 0.5, 0.75)]
-            rows.append((et, n, *qs))
-        return pd.DataFrame(rows, columns=["event_type", "n_events",
-                                           "p25_e4", "p50_e4", "p75_e4"])
+    def quart_group(g: pd.DataFrame) -> pd.DataFrame:
+        # one group's histogram per call — parallel across groups (the
+        # pre-r4 repartition(1) final's input tracked distinct values)
+        et = g["event_type"].iloc[0]
+        h = g.groupby("v", sort=True)["n"].sum()
+        n = int(h.sum())
+        c = h.cumsum().to_numpy()
+        v = h.index.to_numpy()
+        qs = [int(v[np.searchsorted(c, int(np.ceil(q * n)))])
+              for q in (0.25, 0.5, 0.75)]
+        return pd.DataFrame({"event_type": [et], "n_events": [n],
+                             "p25_e4": [qs[0]], "p50_e4": [qs[1]],
+                             "p75_e4": [qs[2]]})
 
-    return ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(quart, batch_format="pandas", batch_size=None)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .map_groups(quart_group, batch_format="pandas")
 
 
 EVENTS_QUARTILES_SQL = """
@@ -1355,27 +1400,37 @@ def user_type_pivot(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     types = ["click", "error", "purchase", "signup", "view"]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    n_buckets = 32
+
+    def partial(batch) -> "pa.Table":
+        # declared-pyarrow: feeds the keyed exchange (module rule)
+        import pyarrow as pa
+
+        df = batch.to_pandas()
         ct = pd.crosstab(df["user_id"], df["event_type"])
         for t in types:
             if t not in ct.columns:
                 ct[t] = 0
         ct = ct[types].reset_index()
         ct.columns = ["user_id"] + [f"n_{t}" for t in types]
-        return ct
+        ct["__ub"] = (ct["user_id"].to_numpy(np.int64)
+                      % np.int64(n_buckets))
+        return pa.Table.from_pandas(ct, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     cols = [f"n_{t}" for t in types]
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # per user-hash bucket (a user's partials share the bucket) —
+        # the pre-r4 repartition(1) final was unbounded in user count
         g = df.groupby("user_id", sort=False)[cols].sum().reset_index()
         out = {"user_id": g["user_id"].astype(np.int64)}
         for c in cols:
             out[c] = g[c].astype(np.int64)
         return pd.DataFrame(out)
 
-    return ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(combine, batch_format="pandas", batch_size=None)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(combine, batch_format="pandas")
 
 
 USER_TYPE_PIVOT_SQL = """

@@ -1070,24 +1070,40 @@ def domain_stats_q(sf_dir: str):
     pages = read_parquet_clean(
         synth.table_path(sf_dir, "pages"), columns=["url", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    import zlib
+
+    import pyarrow as pa
+
+    n_buckets = 32
+
+    def partial(batch) -> "pa.Table":
+        # declared-pyarrow: feeds the keyed exchange (module rule)
+        df = batch.to_pandas()
         domain = df["url"].str.split("/").str[2]
         chars = df["text"].str.len().astype(np.int64)
-        return pd.DataFrame({"domain": domain, "chars": chars}) \
+        g = pd.DataFrame({"domain": domain, "chars": chars}) \
             .groupby("domain", sort=False) \
             .agg(n=("chars", "size"), c=("chars", "sum")).reset_index()
+        # domain-hash bucket: host cardinality is unbounded on a real
+        # crawl, so the combine must be keyed, not a repartition(1)
+        # funnel whose input is domains x batches
+        g["__hb"] = np.asarray(
+            [zlib.crc32(d.encode("utf-8")) for d in g["domain"]],
+            dtype=np.int64) % np.int64(n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("domain", sort=False).sum().reset_index()
+        g = df.drop(columns="__hb").groupby("domain", sort=False) \
+            .sum().reset_index()
         return pd.DataFrame({
             "domain": g["domain"],
             "n_pages": g["n"].astype(np.int64),
             "sum_chars": g["c"].astype(np.int64),
         })
 
-    return pages.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(finish, batch_format="pandas", batch_size=None)
+    return pages.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__hb").map_groups(finish, batch_format="pandas")
 
 
 def domain_stats_sql(d: str) -> str:
