@@ -74,18 +74,33 @@ class PartialTopK:
 
 
 def final_topk(partials_ds, k: int):
-    """Merge partial top-ks: one combine task (partials are bounded by
-    n_batches * n_queries * k rows — tiny; a shuffle would cost more)."""
+    """Merge partial top-ks with a 2-level ROUND-ROBIN tree.
+
+    Top-k-of-top-ks is associative and the KEY cardinality (queries) is
+    bounded by the broadcast side, so no keyed shuffle is needed: level
+    1 folds the per-batch partials (whose count grows with input block
+    count — the quantity a single repartition(1) task would be
+    unbounded in) into <= width blocks of <= n_queries * k rows each;
+    level 2 folds those width blocks in one task whose input is
+    <= width * n_queries * k rows — bounded by CONFIG, not by data.
+    """
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
         for _, g in df.groupby("query_id", sort=False):
             g = g.sort_values(["score", "vec_id"], ascending=[False, True],
                               kind="stable").head(k).copy()
+            if "rank" in g.columns:
+                g = g.drop(columns="rank")
             g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
             parts.append(g)
         return pd.concat(parts, ignore_index=True)
 
-    return partials_ds.repartition(1).map_batches(
+    from .zonal import _auto_buckets
+
+    width = _auto_buckets()
+    lvl1 = partials_ds.repartition(width).map_batches(
+        combine, batch_format="pandas", batch_size=None)
+    return lvl1.repartition(1).map_batches(
         combine, batch_format="pandas", batch_size=None)
 
 
