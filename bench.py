@@ -39,6 +39,49 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+def _control_q1(sf_dir: str):
+    """FROZEN drift-control pipeline: q1's r2-era plan, byte-for-byte
+    (arrow partial -> repartition(1) -> pandas combine). Never edit —
+    its wall time on identical code across rounds IS the box-state
+    signal; the product q1 in pipelines/relational.py evolves freely.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from socialmapper_ray.pipelines.relational import _read
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        ext = t["l_extendedprice"]
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        bp_e2 = pc.cast(pc.round(pc.multiply(ext, 100.0)), pa.int64())
+        dp_e4 = pc.cast(pc.round(pc.multiply(
+            pc.multiply(ext, pc.subtract(1.0, t["l_discount"])),
+            10000.0)), pa.int64())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sq": qty, "sbp": bp_e2, "sdp": dp_e4,
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sq", "sum"), ("sbp", "sum"), ("sdp", "sum"), ("n", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "sq", "sbp", "sdp", "n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(lambda df: df.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False).sum()
+            .reset_index(), batch_format="pandas", batch_size=None)
+
+
 def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
@@ -94,17 +137,18 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # pinned CONTROL: q1 (untouched since r2) measured FIRST after an
-    # untimed warmup run — its ratio to the r2 reference reading
-    # (0.765 s) estimates this box's state so cross-round comparisons
-    # stop needing manual drift correction (this box is bimodal: up to
-    # ~2x on identical code; BASELINE.md drift row)
+    # pinned CONTROL measured FIRST after an untimed warmup — its ratio
+    # to the r2 reference reading (0.765 s) estimates this box's state
+    # so cross-round comparisons stop needing manual drift correction
+    # (this box is bimodal: up to ~2x on identical code; BASELINE.md
+    # drift row). The control is a FROZEN copy of q1's r2-era plan —
+    # independent of the product q1, which is free to evolve.
     CONTROL_REF_SEC = 0.765
-    rel.q1_pricing_summary(SF_DIR).count()          # warmup, untimed
+    _control_q1(SF_DIR).count()                     # warmup, untimed
     control = None
     for _ in range(3):
         t0 = time.perf_counter()
-        rel.q1_pricing_summary(SF_DIR).count()
+        _control_q1(SF_DIR).count()
         dt = time.perf_counter() - t0
         control = dt if control is None else min(control, dt)
     control = round(control, 3)

@@ -79,13 +79,15 @@ def q1_pricing_summary(sf_dir: str):
         return g.rename_columns(["l_returnflag", "l_linestatus",
                                  "sq", "sbp", "sdp", "n"])
 
-    # tiny partials (6 groups x n_batches): tree combine beats the
-    # Aggregate all-to-all barrier (see stages/zonal.py rationale)
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(lambda df: df.groupby(
-            ["l_returnflag", "l_linestatus"], sort=False).sum().reset_index(),
-            batch_format="pandas", batch_size=None)
+    # tiny bounded key set (6 groups): 2-level round-robin tree combine
+    # beats the Aggregate all-to-all barrier AND stays bounded in block
+    # count (util.tree_combine; the final task sees width x 6 rows)
+    from ..util import tree_combine
+
+    agg = tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda df: df.groupby(["l_returnflag", "l_linestatus"],
+                              sort=False).sum().reset_index())
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -145,10 +147,10 @@ def q6_forecast_revenue(sf_dir: str):
         return pa.table({"rev": pa.array([int(total or 0)], pa.int64()),
                          "n": pa.array([t.num_rows], pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(lambda df: df.sum().to_frame().T,
-                     batch_format="pandas", batch_size=None)
+    from ..util import tree_combine
+
+    agg = tree_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                       lambda df: df.sum().to_frame().T)
     return agg.map_batches(
         lambda df: pd.DataFrame({
             "revenue_e4": df["rev"].astype(np.int64),
@@ -448,10 +450,16 @@ def top_events_per_type(sf_dir: str, k: int = 5):
                             ascending=[False, True], kind="stable")
         return df.groupby("event_type", sort=False).head(k)
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # idempotent grouped head — runs at both tree levels
         df = df.sort_values(["value", "event_id"],
                             ascending=[False, True], kind="stable")
-        df = df.groupby("event_type", sort=False).head(k).copy()
+        return df.groupby("event_type", sort=False).head(k) \
+                 .reset_index(drop=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"],
+                            ascending=[False, True], kind="stable").copy()
         df["rank"] = df.groupby("event_type", sort=False).cumcount() + 1
         return pd.DataFrame({
             "event_type": df["event_type"],
@@ -460,8 +468,10 @@ def top_events_per_type(sf_dir: str, k: int = 5):
             "value": df["value"].round(6),
         }).reset_index(drop=True)
 
-    return ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
+    from ..util import tree_combine
+
+    return tree_combine(ds.map_batches(partial, batch_format="pandas"),
+                        combine) \
         .map_batches(finish, batch_format="pandas", batch_size=None)
 
 
@@ -552,13 +562,14 @@ def nation_rollup(sf_dir: str):
             return m.groupby(["r_name", "n_name"], sort=False).agg(
                 n=("bal", "size"), bal=("bal", "sum")).reset_index()
 
-    agg = ds.map_batches(JoinDim, fn_constructor_args=(dim_ref,),
-                         batch_format="pandas", concurrency=2,
-                         num_cpus=0.5) \
-        .repartition(1) \
-        .map_batches(lambda df: df.groupby(
-            ["r_name", "n_name"], sort=False).sum().reset_index(),
-            batch_format="pandas", batch_size=None)
+    from ..util import tree_combine
+
+    agg = tree_combine(
+        ds.map_batches(JoinDim, fn_constructor_args=(dim_ref,),
+                       batch_format="pandas", concurrency=2,
+                       num_cpus=0.5),
+        lambda df: df.groupby(["r_name", "n_name"], sort=False).sum()
+        .reset_index())
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -604,11 +615,12 @@ def order_lineitem_join(sf_dir: str):
         return df.groupby("o_orderpriority", sort=False).agg(
             n=("q", "size"), sq=("q", "sum")).reset_index()
 
-    agg = joined.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(lambda df: df.groupby(
-            "o_orderpriority", sort=False).sum().reset_index(),
-            batch_format="pandas", batch_size=None)
+    from ..util import tree_combine
+
+    agg = tree_combine(
+        joined.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("o_orderpriority", sort=False).sum()
+        .reset_index())
     return agg.map_batches(
         lambda df: pd.DataFrame({
             "o_orderpriority": df["o_orderpriority"],
@@ -640,11 +652,12 @@ def order_lineitem_join_native(sf_dir: str):
         return df.groupby("o_orderpriority", sort=False).agg(
             n=("q", "size"), sq=("q", "sum")).reset_index()
 
-    agg = joined.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
-        .map_batches(lambda df: df.groupby(
-            "o_orderpriority", sort=False).sum().reset_index(),
-            batch_format="pandas", batch_size=None)
+    from ..util import tree_combine
+
+    agg = tree_combine(
+        joined.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("o_orderpriority", sort=False).sum()
+        .reset_index())
     return agg.map_batches(
         lambda df: pd.DataFrame({
             "o_orderpriority": df["o_orderpriority"],
@@ -1288,8 +1301,17 @@ def events_props_extract(sf_dir: str):
             "max_k": max_k,
         })
 
-    return ds.map_batches(partial, batch_format="pandas") \
-        .repartition(1) \
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # idempotent partial fold (NaN-skipping sum/max match the
+        # finish's NULL masking: max_k stays NaN iff no partial saw k)
+        return df.groupby("event_type", sort=False) \
+            .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                 max_k=("max_k", "max")).reset_index()
+
+    from ..util import tree_combine
+
+    return tree_combine(ds.map_batches(partial, batch_format="pandas"),
+                        combine) \
         .map_batches(finish, batch_format="pandas", batch_size=None)
 
 

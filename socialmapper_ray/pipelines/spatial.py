@@ -868,8 +868,17 @@ def zone_area_stats_q(sf_dir: str):
             "min_area_e6": g["lo"].astype(np.int64),
             "max_area_e6": g["hi"].astype(np.int64)})
 
-    return zones.map_batches(areas, batch_format="pandas") \
-        .repartition(1) \
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # idempotent partial fold for the 2-level tree (kind count is
+        # bounded; the partial count grows with input blocks)
+        return df.groupby("kind", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), lo=("lo", "min"),
+            hi=("hi", "max")).reset_index()
+
+    from ..util import tree_combine
+
+    return tree_combine(zones.map_batches(areas, batch_format="pandas"),
+                        fold) \
         .map_batches(combine, batch_format="pandas", batch_size=None)
 
 

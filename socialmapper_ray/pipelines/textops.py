@@ -1472,8 +1472,13 @@ def tfidf_top_terms_q(sf_dir: str, topk: int = 5):
             "score_ppm": df["score_ppm"].astype(np.int64),
             "rnk": df["rnk"].astype(np.int64)}).reset_index(drop=True)
 
-    return scored.map_batches(head, batch_format="pandas") \
-        .repartition(1) \
+    # head is idempotent (grouped top-k of top-ks), so the 2-level tree
+    # bounds the final task to width x sources x topk rows instead of
+    # one row per (source, topk, input block)
+    from ..util import tree_combine
+
+    return tree_combine(scored.map_batches(head, batch_format="pandas"),
+                        head) \
         .map_batches(finish, batch_format="pandas", batch_size=None)
 
 

@@ -68,3 +68,29 @@ def lcg32(ids):
 
     ids = np.asarray(ids, dtype=np.int64)
     return ((ids % 4294967296) * 1103515245 + 12345) % 4294967296
+
+
+def tree_combine(partials, combine_fn, width: int | None = None,
+                 batch_format: str = "pandas"):
+    """2-level ROUND-ROBIN combine of per-batch partial aggregates.
+
+    For finals whose KEY cardinality is bounded (a handful of groups, a
+    config-sized top-k) but whose PARTIAL count grows with the input
+    block count: a single ``repartition(1)`` final is unbounded in
+    blocks (groups x n_blocks rows into one task at 1e7 blocks), while
+    a keyed shuffle costs a sort the tiny key set doesn't need. Level 1
+    folds into <= width blocks of <= |keys| rows each; level 2 folds
+    those in one task whose input is <= width x |keys| rows — bounded
+    by CONFIG, not by data. ``combine_fn`` must be associative and
+    idempotent on its own output (grouped sum/min/max/top-k over
+    partial rows). Unbounded-key finals need a keyed exchange instead
+    (see stages/zonal.py).
+    """
+    if width is None:
+        from .stages.zonal import _auto_buckets
+
+        width = _auto_buckets()
+    lvl1 = partials.repartition(width).map_batches(
+        combine_fn, batch_format=batch_format, batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        combine_fn, batch_format=batch_format, batch_size=None)
