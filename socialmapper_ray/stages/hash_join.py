@@ -104,7 +104,12 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
             r = r.astype({c: "Int64" for c in right_cols
                           if c in int_fill_cols})
         if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame(columns=all_cols)
+            # typed empty (dtypes from the actual sides): an untyped
+            # object-dtype empty block makes Ray log a schema-mismatch
+            # warning per bundle and fall into per-batch schema unify
+            merged = l.iloc[0:0].merge(r.iloc[0:0], how="inner",
+                                       left_on=left_on, right_on=right_on)
+            return merged[[c for c in all_cols if c in merged.columns]]
         merged = l.merge(r, how=how, left_on=left_on, right_on=right_on)
         return merged[[c for c in all_cols if c in merged.columns]]
 
