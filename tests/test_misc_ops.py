@@ -286,3 +286,31 @@ def test_sssp_kernel_matches_dijkstra():
         want = dijkstra(source)
         for n in range(g * g):
             assert got[n] == want[n], (source, n)
+
+
+def test_tree_combine_matches_single_combine(ray_session):
+    """util.tree_combine (2-level round-robin fold) must equal one
+    global combine for an associative grouped aggregate, at several
+    widths including width > n_blocks."""
+    import ray.data as rd
+
+    from socialmapper_ray.util import tree_combine
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 3000).astype(str),
+                       "x": rng.integers(0, 100, 3000)})
+    chunks = [df.iloc[i::12].reset_index(drop=True) for i in range(12)]
+    partials = rd.from_pandas(chunks).map_batches(
+        lambda d: d.groupby("g", sort=False).agg(
+            n=("x", "size"), s=("x", "sum")).reset_index(),
+        batch_format="pandas")
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("g", sort=False).sum().reset_index()
+
+    want = df.groupby("g").agg(n=("x", "size"), s=("x", "sum")) \
+        .reset_index().sort_values("g").reset_index(drop=True)
+    for width in (2, 8, 64):
+        got = tree_combine(partials, combine, width=width).to_pandas() \
+            .sort_values("g").reset_index(drop=True)
+        assert got[["g", "n", "s"]].equals(want)
