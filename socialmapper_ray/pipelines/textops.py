@@ -1157,35 +1157,67 @@ def dup_shingles_q(sf_dir: str, k: int = 5, n_buckets: int = 32,
         # declared-pyarrow: a pandas-declared stage fused into the
         # shuffle map phase pays ~10x (see exact_dedup docstring)
         df = batch.to_pandas()
-        doc_ids: list[int] = []
-        shingles: list[str] = []
-        for did, t in zip(df["doc_id"], df["text"]):
-            sh = tx.doc_shingles(t, k)
-            doc_ids.extend([did] * len(sh))
-            shingles.extend(sh)
-        # route on a content hash (NOT python hash(): must be stable
-        # across workers); factorize -> ONE hash per unique shingle
-        codes, uniq = pd.factorize(pd.Series(shingles, dtype=object),
-                                   sort=False)
-        import hashlib
-        import zlib
-
-        cols = {"doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64))}
         if oracle_exact:
+            # string shingles so the DuckDB LATERAL oracle is exact
+            import zlib
+
+            doc_ids: list[int] = []
+            shingles: list[str] = []
+            for did, t in zip(df["doc_id"], df["text"]):
+                sh = tx.doc_shingles(t, k)
+                doc_ids.extend([did] * len(sh))
+                shingles.extend(sh)
+            # route on a content hash (NOT python hash(): must be
+            # stable across workers); one crc32 per unique shingle
+            codes, uniq = pd.factorize(pd.Series(shingles, dtype=object),
+                                       sort=False)
             uh = np.asarray([zlib.crc32(u.encode("utf-8")) for u in uniq],
                             dtype=np.int64)
-            cols["shingle"] = pa.array(shingles, pa.string())
-        else:
-            u64 = np.asarray(
-                [int.from_bytes(hashlib.blake2b(
-                    u.encode("utf-8"), digest_size=8).digest(), "little")
-                 for u in uniq], dtype=np.uint64)
-            h = u64.view(np.int64)          # exact reinterpret, int64 ops
-            cols["shingle_h"] = pa.array(h[codes])
-            uh = h
-        # numpy int64 % positive is non-negative (sign of divisor)
-        cols["bucket"] = pa.array(uh[codes] % np.int64(n_buckets))
-        return pa.table(cols)
+            return pa.table({
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+                "shingle": pa.array(shingles, pa.string()),
+                "bucket": pa.array(uh[codes] % np.int64(n_buckets))})
+        # DEFAULT (engine) path: fully numeric — shingle keys come from
+        # a vectorized rolling mix of token crc32s over the batch's
+        # flat token array (no shingle STRING is ever built); windows
+        # crossing a doc boundary are masked out, per-doc distinctness
+        # falls out of one (doc, hash) lexsort + boundary dedup
+        from ..sources.synth import splitmix64
+        from ..stages.dedup import _SHINGLE_C, _batch_token_hashes
+
+        flat, segs = _batch_token_hashes(df["text"].tolist())
+        n_docs = len(segs) - 1
+        T = int(segs[-1])
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        if T < k:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "shingle_h": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64())})
+        consts = list(_SHINGLE_C) + [np.uint64(0x2545F4914F6CDD1D),
+                                     np.uint64(0x9E6C63D0876A9A35)]
+        with np.errstate(over="ignore"):
+            acc = np.zeros(T - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc = acc + np.uint64(consts[j]) * flat[j: T - k + 1 + j]
+            h = splitmix64(acc).view(np.int64)
+        # window i belongs to the doc containing i..i+k-1 entirely
+        win_doc = np.searchsorted(segs, np.arange(T - k + 1),
+                                  side="right") - 1
+        valid = np.arange(T - k + 1) + k <= segs[win_doc + 1]
+        d = win_doc[valid]
+        h = h[valid]
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        if len(d):
+            first = np.empty(len(d), dtype=bool)
+            first[0] = True
+            first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+            d, h = d[first], h[first]
+        return pa.table({
+            "doc_id": pa.array(ids[d]),
+            "shingle_h": pa.array(h),
+            "bucket": pa.array(h % np.int64(n_buckets))})
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         # rows are distinct per (doc, shingle), so group size == number
