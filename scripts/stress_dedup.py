@@ -22,7 +22,8 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 960_000
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 \
+    and sys.argv[1].isdigit() else 960_000
 N_UNIQUE = max(1, N_DOCS // 192)
 
 WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
@@ -81,5 +82,58 @@ def main():
     ray.shutdown()
 
 
+def near_dup_stress(n_docs: int = 200_000, n_unique: int = 10_000):
+    """Near-duplicate (NOT exact) stress: each unique text spawns ~20
+    variants with one word replaced per variant, so the exact
+    collapse is a no-op and the LSH -> distributed verify -> CC path
+    carries the full load. Expect ~n_unique components."""
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from socialmapper_ray.stages import dedup
+
+    rng = np.random.default_rng(7)
+    bases = [list(rng.choice(WORDS, size=30)) + [f"tail{u}"]
+             for u in range(n_unique)]
+    ids = np.arange(n_docs, dtype=np.int64)
+    which = ids % n_unique
+    variant = ids // n_unique
+    frames = []
+    for lo in range(0, n_docs, 50_000):
+        hi = min(lo + 50_000, n_docs)
+        texts = []
+        for i in range(lo, hi):
+            w = list(bases[which[i]])
+            # variant v replaces word (v mod 30) with a variant marker —
+            # ~1/31 token difference, jaccard >> 0.5 vs the base
+            v = int(variant[i])
+            if v:
+                w[v % 30] = f"var{v}"
+            texts.append(" ".join(w))
+        frames.append(pd.DataFrame({"doc_id": ids[lo:hi], "text": texts}))
+    ds = rd.from_pandas(frames).materialize()
+
+    t0 = time.perf_counter()
+    keep = dedup.minhash_dedup_keep_distributed(ds).materialize()
+    dt = time.perf_counter() - t0
+    kdf = keep.to_pandas()
+    print(json.dumps({
+        "mode": "near_dup", "n_docs": n_docs, "n_unique": n_unique,
+        "keep_sec": round(dt, 2),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_components": int(kdf["component"].nunique()),
+        "kept": int(kdf["keep"].sum())}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--near-dup":
+        near_dup_stress()
+    else:
+        main()

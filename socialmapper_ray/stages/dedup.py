@@ -654,12 +654,16 @@ def candidate_feature_ds(ds, cand_ids_ref, feature: str = "shingles",
             np.zeros(len(ids), dtype=bool)
         texts = batch[text_col].take(
             pa.array(np.flatnonzero(sel))).to_pylist()
-        # serialize each sorted-unique feature set to LE-uint64 bytes:
-        # a binary Arrow column travels the shuffle zero-copy, where a
-        # ragged ndarray column would trip the tensor-extension path
+        # serialize each sorted-unique feature set to LE-uint32 bytes
+        # (both feature kinds are < 2^32: shingle hashes keep the top
+        # 32 bits, char-ngram indices are < 2^16) — HALF the bytes of
+        # the former uint64 form through the two feature-carrying
+        # exchanges, identical values; a binary Arrow column travels
+        # the shuffle zero-copy, where a ragged ndarray column would
+        # trip the tensor-extension path
         return pa.table({
             id_col: pa.array(ids[sel]),
-            "feat": pa.array([feat_fn(t).astype(np.uint64).tobytes()
+            "feat": pa.array([feat_fn(t).astype(np.uint32).tobytes()
                               for t in texts], pa.binary()),
         })
 
@@ -717,7 +721,7 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
                              text_col: str = "text",
                              threshold: float = 0.5,
                              feature: str = "shingles",
-                             n_buckets: int = 8):
+                             n_buckets: int = 32):
     """Exact-Jaccard verification of LSH candidate pairs WITHOUT
     materialising the corpus — or the candidate pair list — on the
     driver.
@@ -771,74 +775,161 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
         cands.map_batches(member_rows, batch_format="pyarrow"), id_col))
     feats = candidate_feature_ds(ds, ids_ref, feature, id_col, text_col)
 
-    pairs = distinct_pairs(cands, n_buckets=max(n_buckets, 16))
+    # upfront pair-distinct: measured BETTER than folding the dedup
+    # into the final groupby (143 s vs 65 s on the adversarial stress)
+    # — the distinct exchange moves narrow int rows once and HALVES
+    # both downstream streams (raw band partials repeat a pair up to
+    # once per band-bucket)
+    pairs = distinct_pairs(cands, n_buckets=max(n_buckets, 16)) \
+        .materialize()                  # two consumers below
 
-    def explode(t) -> "pd.DataFrame":
+    from .hash_join import INT_FILL
+
+    def pair_stream(t) -> "pa.Table":
+        # union-schema P rows: one per pair, routed to its pair bucket
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
         return pa.table({
-            "a": pa.array(np.concatenate([a, a])),
-            "b": pa.array(np.concatenate([b, b])),
-            id_col: pa.array(np.concatenate([a, b])),
-        })
+            "kind": pa.array(np.zeros(n, np.int64)),
+            "a": pa.array(a), "b": pa.array(b),
+            "member": pa.array(np.full(n, INT_FILL)),
+            "feat": pa.nulls(n, pa.binary()),
+            "__pb": pa.array(_pair_bucket_col(a, b, n_buckets))})
 
-    members = pairs.map_batches(explode, batch_format="pyarrow")
+    def member_stream(t) -> "pa.Table":
+        # (member, pair-bucket) rows with PER-BATCH dedup: a member's
+        # features will ship once per (member, bucket, source block)
+        # instead of once per PAIR — on dup-heavy corpora the average
+        # pair degree is the volume multiplier this removes (measured
+        # 310x on the adversarial near-dup stress: 43.6M feature-
+        # carrying join rows -> ~0.3M)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb = _pair_bucket_col(a, b, n_buckets)
+        mem = np.concatenate([a, b])
+        mpb = np.concatenate([pb, pb])
+        order = np.lexsort((mpb, mem))
+        mem, mpb = mem[order], mpb[order]
+        if len(mem):
+            first = np.empty(len(mem), dtype=bool)
+            first[0] = True
+            first[1:] = (mem[1:] != mem[:-1]) | (mpb[1:] != mpb[:-1])
+            mem, mpb = mem[first], mpb[first]
+        return pa.table({"member": pa.array(mem), "__pb": pa.array(mpb)})
 
-    joined = hash_join(
-        members, feats, left_on=id_col, right_on=id_col,
-        left_cols=["a", "b", id_col], right_cols=[id_col, "feat"],
-        n_buckets=n_buckets, int_fill_cols=("a", "b"),
+    mrows = pairs.map_batches(member_stream, batch_format="pyarrow")
+    mfeat = hash_join(
+        mrows, feats, left_on="member", right_on=id_col,
+        left_cols=["member", "__pb"], right_cols=[id_col, "feat"],
+        n_buckets=n_buckets, int_fill_cols=("member", "__pb"),
         pad_types={"feat": pa.binary()})
 
-    def add_pair_bucket(t) -> "pd.DataFrame":
-        a = t["a"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "__pb", pa.array(_pair_bucket_col(
-                a, t["b"].to_numpy(zero_copy_only=False), n_buckets)))
+    def tag_members(t) -> "pa.Table":
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(np.ones(n, np.int64)),
+            "a": pa.array(np.full(n, INT_FILL)),
+            "b": pa.array(np.full(n, INT_FILL)),
+            "member": t["member"].combine_chunks()
+            if isinstance(t["member"], pa.ChunkedArray) else t["member"],
+            "feat": t["feat"].combine_chunks()
+            if isinstance(t["feat"], pa.ChunkedArray) else t["feat"],
+            "__pb": t["__pb"].combine_chunks()
+            if isinstance(t["__pb"], pa.ChunkedArray) else t["__pb"]})
+
+    both = pairs.map_batches(pair_stream, batch_format="pyarrow").union(
+        mfeat.map_batches(tag_members, batch_format="pyarrow"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.loc[g["kind"] == 0]
+        m = g.loc[g["kind"] == 1]
+        if p.empty or m.empty:
+            return empty
         # a dirty corpus with duplicate doc_id rows yields one feat row
-        # per occurrence; without this drop rows s/s+1 of a run could
-        # both be the SAME member (jaccard(a,a)=1 -> false duplicate).
-        # Sort by feat BYTES before dropping so the surviving row is
-        # layout-independent (shuffle arrival order must not pick which
-        # of two conflicting texts represents a duplicated id)
-        g = g.sort_values(["a", "b", id_col, "feat"], kind="stable") \
-             .drop_duplicates(["a", "b", id_col])
-        ga = g["a"].to_numpy().astype(np.int64)
-        gb = g["b"].to_numpy().astype(np.int64)
-        mem = g[id_col].to_numpy().astype(np.int64)
-        feats = g["feat"].to_numpy()
-        n = len(ga)
-        if n == 0:
+        # per occurrence; keep the smallest feat BYTES per member so the
+        # winner is layout-independent (shuffle arrival order must not
+        # pick which of two conflicting texts represents an id)
+        m = m.sort_values(["member", "feat"], kind="stable")              .drop_duplicates("member")
+        mem = m["member"].to_numpy().astype(np.int64)   # sorted asc
+        feats_m = m["feat"].to_numpy()
+        lens = np.fromiter((len(f) >> 2 for f in feats_m), np.int64,
+                           len(mem))
+        offs = np.zeros(len(mem) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(lens)
+        flat = np.frombuffer(b"".join(feats_m), dtype=np.uint32)
+        a = p["a"].to_numpy().astype(np.int64)
+        b = p["b"].to_numpy().astype(np.int64)
+        ia = np.searchsorted(mem, a)
+        ib = np.searchsorted(mem, b)
+        ia_c = np.minimum(ia, len(mem) - 1)
+        ib_c = np.minimum(ib, len(mem) - 1)
+        # both members must be present (a missing doc skips its pairs)
+        ok = (mem[ia_c] == a) & (mem[ib_c] == b)
+        ia, ib = ia_c[ok], ib_c[ok]
+        a, b = a[ok], b[ok]
+        if len(a) == 0:
             return empty
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = (ga[1:] != ga[:-1]) | (gb[1:] != gb[:-1])
-        starts = np.flatnonzero(new)
-        out_a, out_b, out_j = [], [], []
-        for s in starts:
-            # complete pair: exactly rows (s, s+1) == members (a, b)
-            # (a < b always, and members sort ascending within a pair);
-            # a singleton run means a member doc was missing from ds
-            if s + 1 >= n or new[s + 1]:
-                continue
-            if mem[s] != ga[s] or mem[s + 1] != gb[s]:
-                continue
-            j = jaccard(np.frombuffer(feats[s], dtype=np.uint64),
-                        np.frombuffer(feats[s + 1], dtype=np.uint64))
-            if j >= threshold:
-                out_a.append(int(ga[s]))
-                out_b.append(int(gb[s]))
-                out_j.append(j)
-        if not out_a:
+        # VECTORIZED exact jaccard: per pair, gather both members'
+        # sorted-unique value arrays into one flat array tagged by pair
+        # index; after a (pair, value) lexsort the intersection size is
+        # the count of adjacent equal values within a pair (each value
+        # is unique per member). Chunked to stay cache-friendly (the
+        # per-pair python loop this replaces measured 294 s at 21.8M
+        # candidates).
+        CHUNK_VALS = 1 << 22
+        out_frames = []
+        i = 0
+        n_pairs = len(a)
+        pair_tot = lens[ia] + lens[ib]
+        while i < n_pairs:
+            j_end = i
+            tot_vals = 0
+            while j_end < n_pairs:
+                t_p = int(pair_tot[j_end])
+                if tot_vals and tot_vals + t_p > CHUNK_VALS:
+                    break
+                tot_vals += t_p
+                j_end += 1
+            sl = slice(i, j_end)
+            nc = j_end - i
+            la, lb = lens[ia[sl]], lens[ib[sl]]
+            seg_lens = np.empty(2 * nc, dtype=np.int64)
+            seg_lens[0::2] = la
+            seg_lens[1::2] = lb
+            seg_starts = np.empty(2 * nc, dtype=np.int64)
+            seg_starts[0::2] = offs[ia[sl]]
+            seg_starts[1::2] = offs[ib[sl]]
+            cum = np.cumsum(seg_lens)
+            total = int(cum[-1]) if nc else 0
+            prev = np.concatenate([[0], cum[:-1]])
+            idx = np.arange(total, dtype=np.int64)                 + np.repeat(seg_starts - prev, seg_lens)
+            vals = flat[idx]
+            pidx = np.repeat(np.repeat(np.arange(nc, dtype=np.int64), 2),
+                             seg_lens)
+            order = np.lexsort((vals, pidx))
+            v_s = vals[order]
+            p_s = pidx[order]
+            eq = np.zeros(total, dtype=np.float64)
+            if total > 1:
+                eq[1:] = ((v_s[1:] == v_s[:-1])
+                          & (p_s[1:] == p_s[:-1])).astype(np.float64)
+            inter = np.bincount(pidx, weights=eq,
+                                minlength=nc).astype(np.int64)
+            union = (la + lb) - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            keep = jac >= threshold
+            if keep.any():
+                out_frames.append(pd.DataFrame({
+                    "a": a[sl][keep], "b": b[sl][keep],
+                    "jaccard": jac[keep]}))
+            i = j_end
+        if not out_frames:
             return empty
-        return pd.DataFrame({"a": np.asarray(out_a, np.int64),
-                             "b": np.asarray(out_b, np.int64),
-                             "jaccard": np.asarray(out_j, np.float64)})
+        return pd.concat(out_frames, ignore_index=True)
 
-    return joined.map_batches(add_pair_bucket, batch_format="pyarrow") \
-        .groupby("__pb").map_groups(per_bucket, batch_format="pandas")
+    return both.groupby("__pb").map_groups(per_bucket,
+                                           batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
