@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_area_stats": sp.zone_area_stats_q,
         "dedup_exact_edges": tp.dedup_exact_edges_q,
         "url_dedup": tp.url_dedup_q,
+        "dedup_keep_best": tp.dedup_keep_best_q,
     }
 
 

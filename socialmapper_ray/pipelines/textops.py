@@ -56,6 +56,24 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_keep_best_q(sf_dir: str, threshold: float = 0.35):
+    """Quality-ruled near-dup keep: each duplicate component keeps its
+    LONGEST member (n_chars; ties -> min doc_id) — the production keep
+    rule (RefinedWeb-style representative selection) on top of the
+    collapsed LSH -> verify -> components machinery. Rows-only; the
+    keep set is pytest-verified against an in-memory oracle
+    (tests/test_dedup.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = dedup_mod.minhash_dedup_keep_best(ds, threshold=threshold)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "component": df["component"].astype(np.int64),
+            "n_chars": df["n_chars"].astype(np.int64),
+            "keep": df["keep"].astype(bool)}),
+        batch_format="pandas")
+
+
 def dedup_exact_edges_q(sf_dir: str, salt_buckets: int = 8):
     """Exact-duplicate STAR EDGES (a=representative, b=member) — the
     exact half of the collapsed near-dup graph (stages/dedup.py

@@ -1330,6 +1330,88 @@ def minhash_dedup_keep_distributed(ds, id_col: str = "doc_id",
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def keep_best_per_component(labels, ds, id_col: str = "doc_id",
+                            quality_col: str = "n_chars",
+                            n_buckets: int = 16):
+    """Rules-based near-dup keep: within each duplicate COMPONENT keep
+    the highest-``quality_col`` member (ties -> smallest id) — what
+    production corpus dedup actually does (keep the longest / highest-
+    quality copy, e.g. RefinedWeb §4.2 keeps one representative per
+    cluster), instead of the min-id convention.
+
+    ``labels``: Dataset(node, component) covering every doc in a dup
+    component (the :func:`connected_components_distributed` output).
+    Docs absent from ``labels`` keep themselves. Two bucketed
+    exchanges: the id+quality stream LEFT-joins labels on id, then a
+    component-keyed grouping picks each component's argmax with a
+    vectorized sort + boundary mask. -> Dataset(id, component, quality,
+    keep).
+    """
+    from .hash_join import hash_join
+
+    joined = hash_join(ds.select_columns([id_col, quality_col]), labels,
+                       left_on=id_col, right_on="node",
+                       left_cols=[id_col, quality_col],
+                       right_cols=["node", "component"],
+                       n_buckets=n_buckets, how="left",
+                       int_fill_cols=(id_col, quality_col, "node",
+                                      "component"))
+
+    def route(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        q = df[quality_col].to_numpy().astype(np.int64)
+        comp = df["component"]
+        miss = comp.isna().to_numpy()
+        component = ids.copy()
+        component[~miss] = comp[~miss].astype(np.int64).to_numpy()
+        return pa.table({
+            id_col: pa.array(ids),
+            "component": pa.array(component),
+            quality_col: pa.array(q),
+            "__cb": pa.array(component % np.int64(n_buckets))})
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy(np.int64)
+        comp = g["component"].to_numpy(np.int64)
+        q = g[quality_col].to_numpy(np.int64)
+        order = np.lexsort((ids, -q, comp))
+        comp_s = comp[order]
+        first = np.empty(len(comp_s), dtype=bool)
+        if len(comp_s):
+            first[0] = True
+            first[1:] = comp_s[1:] != comp_s[:-1]
+        keep = np.zeros(len(comp_s), dtype=bool)
+        keep[order] = first
+        return pa.table({
+            id_col: pa.array(ids), "component": pa.array(comp),
+            quality_col: pa.array(q), "keep": pa.array(keep)})
+
+    return joined.map_batches(route, batch_format="pyarrow") \
+        .groupby("__cb").map_groups(pick, batch_format="pandas")
+
+
+def minhash_dedup_keep_best(ds, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            quality_col: str = "n_chars",
+                            threshold: float = 0.5,
+                            n_buckets: int = 16):
+    """Full near-dup dedup with a QUALITY keep rule: same collapsed
+    LSH -> verify -> components machinery as
+    :func:`minhash_dedup_keep_distributed`, but each component keeps
+    its highest-quality member rather than its min id."""
+    cands = candidate_pairs(ds, id_col, text_col, combine=False,
+                            collapse_exact=True)
+    verified = verify_pairs_distributed(
+        cands, ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    edges = verified.select_columns(["a", "b"]).union(
+        exact_star_edges(ds, id_col=id_col, text_col=text_col))
+    labels = connected_components_distributed(edges, n_buckets=n_buckets)
+    return keep_best_per_component(labels, ds, id_col=id_col,
+                                   quality_col=quality_col,
+                                   n_buckets=n_buckets)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

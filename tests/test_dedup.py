@@ -397,3 +397,42 @@ def test_collapse_paths_empty_and_singleton_inputs(ray_session):
     assert dedup.exact_star_edges(uniq).count() == 0
     keep = dedup.minhash_dedup_keep_distributed(uniq).to_pandas()
     assert keep["keep"].all() and len(keep) == 6
+
+
+def test_keep_best_per_component_oracle(ray_session):
+    """Quality-ruled keep must pick each component's longest member
+    (ties -> min id) and keep every untouched doc — checked against an
+    in-memory oracle built from the same verified edges."""
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    from socialmapper_ray.pipelines import textops as tp
+    from socialmapper_ray.util import read_parquet_clean
+
+    got = tp.dedup_keep_best_q(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    docs = read_parquet_clean(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text", "n_chars"])
+    cands = dedup.candidate_pairs(docs, combine=False,
+                                  collapse_exact=True)
+    edges = dedup.verify_pairs_distributed(
+        cands, docs, threshold=0.35).to_pandas()
+    nodes = np.unique(np.concatenate(
+        [edges["a"].to_numpy(np.int64), edges["b"].to_numpy(np.int64)])) \
+        if len(edges) else np.empty(0, np.int64)
+    comp = dedup.connected_components(edges, nodes)
+    lab = dict(zip(comp["node"], comp["component"]))
+    ddf = docs.to_pandas()
+    ddf["component"] = ddf["doc_id"].map(
+        lambda i: lab.get(i, i)).astype(np.int64)
+    want_keep = set()
+    for _, g in ddf.groupby("component"):
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        want_keep.add(int(g["doc_id"].iloc[0]))
+
+    assert len(got) == len(ddf)
+    assert set(got.loc[got["keep"], "doc_id"]) == want_keep
+    # every component keeps exactly one member
+    assert got.groupby("component")["keep"].sum().eq(1).all()
