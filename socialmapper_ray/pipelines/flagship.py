@@ -10,8 +10,6 @@ materialisations (contrast orchestrator.py:283-339 stage_outputs dict).
 
 from __future__ import annotations
 
-import ray.data as rd
-
 from ..sources import synth
 from ..stages import enrich as enrich_mod
 from ..stages import extract as extract_mod
@@ -33,10 +31,25 @@ def _default_blocks() -> int:
     return max(8, 2 * cpus)
 
 
-def read_pages(sf_dir: str, replicate: int = 1):
-    """Pages source with html kept (extract drops it first thing)."""
+#: columns the extract stage actually consumes. The synth pages table
+#: also carries a pre-extracted ``text`` column (~40% of the non-html
+#: bytes); ``extract_batch`` re-derives text from ``html``, so reading
+#: it would scan tens of TB of parquet at crawl scale only to drop it.
+PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def read_pages(sf_dir: str, replicate: int = 1,
+               columns: list[str] | None = None):
+    """Pages source, pruned to the columns extract consumes (html is
+    kept — extract drops it first thing). Uses the metadata-free-schema
+    read so downstream block schemas stay hashable."""
+    from .. import util
+
     path = synth.table_path(sf_dir, "pages", replicate)
-    return rd.read_parquet(path, override_num_blocks=_default_blocks())
+    return util.read_parquet_clean(
+        path, columns=list(columns) if columns is not None
+        else list(PAGE_COLUMNS),
+        override_num_blocks=_default_blocks())
 
 
 def flagship(sf_dir: str, concurrency: int = 4, replicate: int = 1):

@@ -578,7 +578,7 @@ def dedup_minhash_keep_distributed_q(sf_dir: str, threshold: float = 0.35):
 
 
 def pack_sequences_q(sf_dir: str, seq_tokens: int = 2048,
-                     n_ranges: int = 64):
+                     n_ranges: int = 64, token_table: str = "recompute"):
     """Sequence packing for LLM training: assign each document (in
     doc_id order) to the fixed-token-budget training sequence its
     running token offset falls in — i.e. an ORDERED GLOBAL PREFIX SUM,
@@ -591,6 +591,17 @@ def pack_sequences_q(sf_dir: str, seq_tokens: int = 2048,
     each bucket sorts its own id range and adds its broadcast base
     offset to a vectorized cumsum. Every value is a pure function of
     the doc set — stable under any block layout.
+
+    The narrow (doc_id, n_tokens, __rb) table is consumed by BOTH
+    stages. ``token_table`` picks how:
+    - ``"recompute"`` (default): lazy — tokenization re-executes once
+      per consumer. Zero pinned state (a ``materialize()`` here was the
+      engine's only corpus-sized pin: 24 B/doc ~ 2.4 TB of object store
+      at 1e11 docs), at the cost of one extra streaming tokenize pass.
+    - ``"pin"``: ``materialize()`` — one tokenize pass, object-store
+      (spillable) pin; right when token counting dominates.
+    - ``"stage"``: write the table to scratch parquet once, read it
+      twice — one tokenize pass, disk instead of object store.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -598,15 +609,32 @@ def pack_sequences_q(sf_dir: str, seq_tokens: int = 2048,
                                  columns=["doc_id"]).max("doc_id"))
     step = max(1, (max_id + n_ranges) // n_ranges)
 
-    def tokens_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].astype(np.int64),
-            "n_tokens": tx.token_count(df["text"]),
-            "__rb": (df["doc_id"].to_numpy(np.int64) // step),
+    def tokens_and_bucket(t) -> "pa.Table":
+        # declared-pyarrow: on the recompute path this stage FUSES into
+        # the groupby's map phase, and a pandas-DECLARED fused stage
+        # pays ~10x (exact_dedup notes); the pandas hop stays inside
+        import pyarrow as pa
+
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(tx.token_count(df["text"]).to_numpy()),
+            "__rb": pa.array(ids // step),
         })
 
-    toks = ds.map_batches(tokens_and_bucket, batch_format="pandas") \
-        .materialize()
+    toks = ds.map_batches(tokens_and_bucket, batch_format="pyarrow")
+    if token_table == "pin":
+        toks = toks.materialize()
+    elif token_table == "stage":
+        import tempfile
+
+        from .. import util
+
+        stage_dir = tempfile.mkdtemp(prefix="pack_toks_",
+                                     dir="/tmp")
+        toks.write_parquet(stage_dir)
+        toks = util.read_parquet_clean(stage_dir)
 
     # stage 1: per-bucket token sums -> driver exclusive scan (one row
     # per range bucket — n_ranges rows, never the doc stream)
@@ -1088,8 +1116,6 @@ def domain_stats_q(sf_dir: str):
     pages = read_parquet_clean(
         synth.table_path(sf_dir, "pages"), columns=["url", "text"])
 
-    import zlib
-
     import pyarrow as pa
 
     n_buckets = 32
@@ -1105,9 +1131,10 @@ def domain_stats_q(sf_dir: str):
         # domain-hash bucket: host cardinality is unbounded on a real
         # crawl, so the combine must be keyed, not a repartition(1)
         # funnel whose input is domains x batches
-        g["__hb"] = np.asarray(
-            [zlib.crc32(d.encode("utf-8")) for d in g["domain"]],
-            dtype=np.int64) % np.int64(n_buckets)
+        from ..util import route_hash64
+
+        g["__hb"] = route_hash64(g["domain"].to_numpy()) \
+            % np.int64(n_buckets)
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata(None)
 

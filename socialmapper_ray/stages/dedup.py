@@ -691,14 +691,12 @@ def distinct_pairs(cands, n_buckets: int = 16):
             batch_format="pandas")
 
 
-def distinct_member_ids(members, id_col: str = "doc_id",
-                        n_buckets: int = 16) -> np.ndarray:
-    """Distributed distinct of one int64 id column -> sorted numpy
-    array on the driver. Per-batch ``np.unique`` pre-shrinks the
-    exchange; the id-hash bucket groupby makes per-bucket unique global;
-    ONLY the globally-unique id array is collected — never the pair
-    list it came from (strictly smaller: ids <= 2 x pairs, and on
-    dup-heavy corpora orders of magnitude smaller)."""
+def distinct_member_ids_ds(members, id_col: str = "doc_id",
+                           n_buckets: int = 16):
+    """Distributed distinct of one int64 id column -> Dataset of the
+    globally-unique ids; NOTHING reaches the driver. Per-batch
+    ``np.unique`` pre-shrinks the exchange; the id-hash bucket groupby
+    makes per-bucket unique global."""
 
     def batch_unique(t) -> "pd.DataFrame":
         import pyarrow as pa
@@ -708,20 +706,90 @@ def distinct_member_ids(members, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(u),
                          "__ib": pa.array(u % np.int64(n_buckets))})
 
-    uniq = members.map_batches(batch_unique, batch_format="pyarrow") \
+    return members.map_batches(batch_unique, batch_format="pyarrow") \
         .groupby("__ib").map_groups(
             lambda g: g.drop_duplicates(id_col)[[id_col]],
-            batch_format="pandas").to_pandas()
+            batch_format="pandas")
+
+
+def distinct_member_ids(members, id_col: str = "doc_id",
+                        n_buckets: int = 16) -> np.ndarray:
+    """Driver-collected form of :func:`distinct_member_ids_ds` -> sorted
+    numpy array. ONLY the globally-unique id array is collected — never
+    the pair list it came from (strictly smaller: ids <= 2 x pairs, and
+    on dup-heavy corpora orders of magnitude smaller). Still
+    O(#candidate docs) driver memory — callers at crawl scale use the
+    Dataset variant + :func:`candidate_feature_semijoin`."""
+    uniq = distinct_member_ids_ds(members, id_col, n_buckets).to_pandas()
     if len(uniq) == 0:
         return np.empty(0, dtype=np.int64)
     return np.sort(uniq[id_col].to_numpy().astype(np.int64))
+
+
+def candidate_feature_semijoin(ds, ids_ds, feature: str = "shingles",
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n_buckets: int = 32):
+    """Scale-path twin of :func:`candidate_feature_ds`: per-doc feature
+    sets for candidate docs via a bucketed semi-join of the doc stream
+    against the distinct-member-id *Dataset* — no driver-side id array
+    at any point (the broadcast variant collects the distinct ids,
+    O(#candidate docs) driver memory; on a boilerplate-heavy crawl LSH
+    candidates cover a constant fraction of distinct docs, 1e9-1e10 ids
+    at 100 TB).
+
+    Shape: features are computed for EVERY doc in one vectorized pass
+    where the text lives (text itself never moves), then the narrow
+    (id, feat-bytes) rows inner-join the distinct-id Dataset in one
+    bucketed exchange (:func:`~..stages.hash_join.hash_join`; inner
+    join against a distinct left side IS a semi-join). Up-front
+    featurization is the right trade exactly when this path is chosen:
+    a large candidate fraction means little wasted feature work, and
+    the exchange then moves sorted-unique uint32 feature bytes instead
+    of raw text. Output schema identical to the broadcast variant:
+    (id_col, feat binary)."""
+    import pyarrow as pa
+
+    from .hash_join import hash_join
+
+    feat_fn = (shingle_hashes if feature == "shingles"
+               else _char_ngram_indices)
+
+    def features_all(batch) -> "pa.Table":
+        # null text -> empty feature set (the broadcast path never
+        # featurizes non-candidate rows, so a null there is invisible;
+        # here every row is featurized)
+        texts = batch[text_col].to_pylist()
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)),
+            "feat": pa.array([feat_fn(t if t is not None else "")
+                              .astype(np.uint32).tobytes()
+                              for t in texts], pa.binary()),
+        })
+
+    feats_all = ds.map_batches(features_all, batch_format="pyarrow",
+                               num_cpus=0.5)
+    return hash_join(ids_ds, feats_all, left_on=id_col, right_on=id_col,
+                     left_cols=[id_col], right_cols=[id_col, "feat"],
+                     n_buckets=n_buckets,
+                     pad_types={"feat": pa.binary()})
+
+
+#: above this many distinct candidate-member ids the verify path stops
+#: broadcasting the id array (8M ids = a 64 MB driver allocation and a
+#: per-node plasma copy) and routes features through the bucketed
+#: semi-join instead — the driver then holds nothing O(data)
+BROADCAST_ID_CAP = 8_000_000
 
 
 def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
                              text_col: str = "text",
                              threshold: float = 0.5,
                              feature: str = "shingles",
-                             n_buckets: int = 32):
+                             n_buckets: int = 32,
+                             id_route: str = "auto",
+                             broadcast_id_cap: int = BROADCAST_ID_CAP):
     """Exact-Jaccard verification of LSH candidate pairs WITHOUT
     materialising the corpus — or the candidate pair list — on the
     driver.
@@ -731,12 +799,18 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
        pair-hash bucket groupby) and explode Dataset-side to one row
        per (a, b, member); the pair list never reaches the driver (on a
        boilerplate-heavy crawl LSH candidates are O(corpus));
-    2. the only driver-side array is the *distinct member id* column
-       (:func:`distinct_member_ids`), broadcast once via ``ray.put`` to
-       filter the doc stream;
-    3. features of candidate docs are computed inside the doc stream
-       (:func:`candidate_feature_ds`) — text never moves — and meet the
-       member rows in one bucketed hash join on doc id;
+    2. the distinct member ids stay a *Dataset*
+       (:func:`distinct_member_ids_ds`); ``id_route="auto"`` (default)
+       counts them and only when the count fits ``broadcast_id_cap``
+       collects + ``ray.put``-broadcasts the array (the measured-fast
+       small-candidate path). Above the cap — the crawl-scale regime —
+       NOTHING id-sized touches the driver;
+    3. features of candidate docs are computed inside the doc stream —
+       text never moves — and meet the member rows in one bucketed hash
+       join on doc id. Broadcast route: membership-filter then featurize
+       (:func:`candidate_feature_ds`). Semi-join route: featurize the
+       stream and semi-join the narrow (id, feat) rows against the id
+       Dataset (:func:`candidate_feature_semijoin`);
     4. a second pair-key grouping reunites the two members and a
        vectorized set-intersection emits (a, b, jaccard). Duplicate
        (pair, member) rows — a dirty corpus carrying repeated doc_id
@@ -771,9 +845,24 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
     # member-id distinct off the RAW candidate rows (same distinct set
     # as off the deduped pairs — dedup only drops repeats), so the
     # feature scan starts without waiting on the pair-distinct exchange
-    ids_ref = ray.put(distinct_member_ids(
-        cands.map_batches(member_rows, batch_format="pyarrow"), id_col))
-    feats = candidate_feature_ds(ds, ids_ref, feature, id_col, text_col)
+    member_ds = cands.map_batches(member_rows, batch_format="pyarrow")
+    if id_route == "broadcast":
+        ids_ref = ray.put(distinct_member_ids(member_ds, id_col))
+        feats = candidate_feature_ds(ds, ids_ref, feature, id_col,
+                                     text_col)
+    else:
+        ids_ds = distinct_member_ids_ds(member_ds, id_col).materialize()
+        if id_route == "auto" and ids_ds.count() <= broadcast_id_cap:
+            uniq = ids_ds.to_pandas()
+            ids = (np.sort(uniq[id_col].to_numpy().astype(np.int64))
+                   if len(uniq) else np.empty(0, dtype=np.int64))
+            ids_ref = ray.put(ids)
+            feats = candidate_feature_ds(ds, ids_ref, feature, id_col,
+                                         text_col)
+        else:
+            feats = candidate_feature_semijoin(ds, ids_ds, feature,
+                                               id_col, text_col,
+                                               n_buckets)
 
     # upfront pair-distinct: measured BETTER than folding the dedup
     # into the final groupby (143 s vs 65 s on the adversarial stress)

@@ -35,9 +35,28 @@ def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
 INT_FILL = np.int64(np.iinfo(np.int64).min)
 
 
+def auto_buckets(floor: int = 16) -> int:
+    """Cluster-proportional bucket count: ~2 buckets per CPU (never
+    below ``floor``), so per-bucket merge parallelism — each bucket is
+    ONE pandas-merge task over corpus/B rows — grows with the cluster
+    instead of pinning at a data-blind constant. The heap bound is
+    rows-based: a bucket's two sides must fit one worker's heap, so at
+    fixed cluster size B must ALSO grow ~linearly with corpus rows —
+    callers joining >> 1M rows/CPU should pass n_buckets explicitly
+    (and salt hot keys into sub-buckets, cf. dedup.exact_dedup_salted,
+    when one key exceeds a heap by itself)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(floor, 2 * cpus)
+
+
 def hash_join(left_ds, right_ds, left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],
-              n_buckets: int = 16, how: str = "inner",
+              n_buckets: int | None = None, how: str = "inner",
               int_fill_cols: tuple = (), pad_types: dict | None = None):
     """Partitioned hash join of two Datasets on int64 keys.
 
@@ -61,6 +80,8 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
     """
     import pyarrow as pa
 
+    if n_buckets is None:
+        n_buckets = auto_buckets()
     all_cols = list(dict.fromkeys(left_cols + right_cols))
     pad_types = pad_types or {}
 

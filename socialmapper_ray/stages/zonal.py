@@ -40,7 +40,8 @@ def zonal_counts(join_ds, value_col: str | None = None,
     keyed combine. The heavy join stream never shuffles; only partial
     rows (bounded by n_batches x zones-touched-per-batch) move, and they
     move in ONE keyed exchange: the partial stage routes each zone to
-    ``crc32(zone) % n_buckets`` and the combine is a per-bucket
+    ``route_hash64(zone) % n_buckets`` (vectorized — no per-key Python
+    in the partial) and the combine is a per-bucket
     vectorized groupby-sum — every bucket holds COMPLETE zones, so no
     second level is needed and no stage is a single-task funnel (the
     previous ``repartition(1)`` final was exactly that: invisible at
@@ -50,7 +51,7 @@ def zonal_counts(join_ds, value_col: str | None = None,
 
     ``n_buckets=None`` auto-sizes to the cluster CPU count.
     """
-    import zlib
+    from ..util import route_hash64
 
     if n_buckets is None:
         n_buckets = _auto_buckets()
@@ -69,9 +70,7 @@ def zonal_counts(join_ds, value_col: str | None = None,
         else:
             g = df.groupby(zone_col, sort=False).size() \
                   .reset_index(name="n")
-        g["__zb"] = np.asarray(
-            [zlib.crc32(str(z).encode("utf-8")) for z in g[zone_col]],
-            dtype=np.int64) % nb
+        g["__zb"] = route_hash64(g[zone_col].to_numpy()) % nb
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata(None)
 

@@ -101,6 +101,37 @@ def test_verify_pairs_distributed_matches_driver(ray_session, docs):
     assert np.allclose(got["jaccard"], want["jaccard"], atol=0)
 
 
+def test_verify_semijoin_route_equals_broadcast(ray_session, docs):
+    """The crawl-scale feature route (bucketed semi-join of the doc
+    stream against the distinct-member-id Dataset — zero driver-side id
+    array) must emit exactly the broadcast route's pairs and values,
+    for both feature kinds."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs)
+    cands = dedup.candidate_pairs(ds)
+    for feature in ("shingles", "char_ngram"):
+        kw = dict(threshold=0.35, feature=feature)
+        want = dedup.verify_pairs_distributed(
+            cands, ds, id_route="broadcast", **kw) \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        got = dedup.verify_pairs_distributed(
+            cands, ds, id_route="semijoin", **kw) \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+        assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+        assert np.allclose(got["jaccard"], want["jaccard"], atol=0)
+    # auto with a tiny cap takes the semi-join branch end-to-end
+    got_auto = dedup.verify_pairs_distributed(
+        cands, ds, threshold=0.35, broadcast_id_cap=0) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    want_auto = dedup.verify_pairs_distributed(
+        cands, ds, threshold=0.35) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert got_auto.equals(want_auto)
+
+
 def test_ngram_verify_distributed_exact_sets(ray_session, docs):
     """char_ngram feature through the distributed verify == exact set
     jaccard of hashed gram indices (precision 1 vs the brute kernel)."""
