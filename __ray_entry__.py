@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pois": sp.extract_pois_q,
         "pip_join": sp.pip_join_q,
         "pip_join_concave": sp.pip_join_concave_q,
+        "pip_join_holes": sp.pip_join_holes_q,
         "zonal_agg": sp.zonal_agg_q,
         "knn_nearest": sp.knn_q,
         "band_assign": sp.bands_q,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pois": sp.extract_pois_sql(d),
         "pip_join": sp.pip_join_sql(d),
         "pip_join_concave": sp.pip_join_concave_sql(d),
+        "pip_join_holes": sp.pip_join_holes_sql(d),
         "pip_join_partitioned": sp.pip_join_sql(d),
         "zonal_agg": sp.zonal_agg_sql(d),
         "knn_nearest": sp.knn_sql(d),

@@ -57,37 +57,132 @@ def wkb_point(lon: float, lat: float) -> bytes:
     return struct.pack("<BIdd", 1, 1, float(lon), float(lat))
 
 
-def wkb_polygon(coords: np.ndarray) -> bytes:
-    """coords: (n, 2) array of (lon, lat); ring is closed automatically."""
+def _close_ring(coords: np.ndarray) -> np.ndarray:
     c = np.asarray(coords, dtype=np.float64)
     if not np.array_equal(c[0], c[-1]):
         c = np.vstack([c, c[:1]])
-    head = struct.pack("<BIII", 1, 3, 1, len(c))
-    return head + c.astype("<f8").tobytes()
+    return c
 
 
-def wkb_decode(buf: bytes):
-    """Decode a WKB blob -> ("point", (lon, lat)) or ("polygon", (n,2) array)."""
+def _open_ring(coords: np.ndarray) -> np.ndarray:
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) > 1 and np.array_equal(c[0], c[-1]):
+        c = c[:-1]
+    return c
+
+
+def wkb_polygon(coords: np.ndarray, holes=()) -> bytes:
+    """coords: (n, 2) outer ring of (lon, lat); ``holes``: optional
+    interior rings. Rings are closed automatically."""
+    rings = [_close_ring(coords)] + [_close_ring(h) for h in holes]
+    out = [struct.pack("<BII", 1, 3, len(rings))]
+    for c in rings:
+        out.append(struct.pack("<I", len(c)))
+        out.append(c.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_multipolygon(parts) -> bytes:
+    """parts: iterable of (outer, holes) tuples or bare outer-ring
+    arrays -> WKB MultiPolygon (type 6; each part a full Polygon blob,
+    the TIGER/shapely at-rest shape for split zones)."""
+    blobs = []
+    for p in parts:
+        if isinstance(p, tuple):
+            outer, holes = p
+        else:
+            outer, holes = p, ()
+        blobs.append(wkb_polygon(outer, holes))
+    return struct.pack("<BII", 1, 6, len(blobs)) + b"".join(blobs)
+
+
+def parity_sequence(rings) -> np.ndarray:
+    """Fold multiple rings (outer + holes, or every ring of every
+    MultiPolygon part) into ONE open vertex sequence whose closed
+    traversal has the same even-odd crossing parity as the ring set:
+    ring 0 open, then per extra ring ``[anchor, ring_i open,
+    ring_i[0]]``, the final wraparound edge returning to the anchor.
+    Every bridge edge (anchor <-> ring_i[0]) is traversed exactly twice,
+    once per direction; the ray-crossing test is endpoint-symmetric, so
+    bridge crossings cancel mod 2. This is what lets the UNCHANGED
+    padded-vertex PIP kernel (:func:`points_in_polygons`) evaluate
+    polygons with holes and MultiPolygons (even-odd rule; reference
+    handles these via shapely, e.g. census/services/
+    spatial_block_group_service.py:110-112, pipeline/census.py:87).
+
+    NOTE: parity (containment) is exact for any ring orientation; the
+    sequence is NOT meant for signed-area/centroid use (there, hole
+    contribution depends on ring winding).
+    """
+    rings = [_open_ring(r) for r in rings]
+    if not rings:
+        return np.zeros((0, 2), dtype=np.float64)
+    if len(rings) == 1:
+        return rings[0]
+    anchor = rings[0][0:1]
+    parts: list[np.ndarray] = [rings[0]]
+    for r in rings[1:]:
+        parts += [anchor, r, r[0:1]]
+    return np.vstack(parts)
+
+
+def wkb_decode_rings(buf: bytes):
+    """Decode a WKB blob -> ("point", (lon, lat)) or ("polygon",
+    [ring arrays]) — every ring of every part (MultiPolygon parts
+    flatten into one ring list; the even-odd rule makes the part/hole
+    distinction unnecessary for containment)."""
     (byte_order, gtype) = struct.unpack_from("<BI", buf, 0)
     if byte_order != 1:
         raise ValueError("only little-endian WKB supported")
     if gtype == 1:
         lon, lat = struct.unpack_from("<dd", buf, 5)
         return "point", (lon, lat)
+
+    def rings_at(off: int):
+        (nrings,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            ring = np.frombuffer(buf, dtype="<f8", count=npts * 2,
+                                 offset=off)
+            rings.append(ring.reshape(npts, 2).copy())
+            off += npts * 16
+        return rings, off
+
     if gtype == 3:
-        (nrings,) = struct.unpack_from("<I", buf, 5)
-        if nrings != 1:
-            # a multi-ring (donut) polygon silently decoded as its
-            # outer ring would classify points inside a HOLE as inside
-            # the zone — refuse rather than mis-join (every in-repo
-            # writer emits single-ring WKB; see wkb_polygon)
-            raise ValueError(
-                f"wkb_decode: expected exactly 1 ring, got {nrings} "
-                "(interior rings/holes are not supported)")
-        (npts,) = struct.unpack_from("<I", buf, 9)
-        ring = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=13)
-        return "polygon", ring.reshape(npts, 2).copy()
+        rings, _ = rings_at(5)
+        return "polygon", rings
+    if gtype == 6:
+        (nparts,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        rings: list[np.ndarray] = []
+        for _ in range(nparts):
+            (bo, gt) = struct.unpack_from("<BI", buf, off)
+            if bo != 1 or gt != 3:
+                raise ValueError("multipolygon part must be LE polygon")
+            part_rings, off = rings_at(off + 5)
+            rings.extend(part_rings)
+        return "polygon", rings
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def wkb_decode(buf: bytes):
+    """Decode a WKB blob -> ("point", (lon, lat)) or ("polygon",
+    (n, 2) array). Single-ring polygons return the stored ring
+    unchanged; polygons with holes and MultiPolygons return the
+    :func:`parity_sequence` of all rings — directly consumable by the
+    crossing-parity PIP kernel (callers needing the ring structure use
+    :func:`wkb_decode_rings`)."""
+    kind, val = wkb_decode_rings(buf)
+    if kind == "point":
+        return kind, val
+    if len(val) == 0:
+        raise ValueError("wkb_decode: polygon with zero rings")
+    if len(val) == 1:
+        return "polygon", val[0]
+    return "polygon", parity_sequence(val)
 
 
 # ---------------------------------------------------------------------------
@@ -152,32 +247,45 @@ class PolygonSet:
         nv2 = nv - closed
         within = np.arange(len(pts), dtype=np.int64) - np.repeat(starts, nv)
         keep = within < np.repeat(nv2, nv)
-        pts2 = pts[keep]
+        return cls._assemble_open(pts[keep], nv2)
+
+    @classmethod
+    def _assemble_open(cls, pts2: np.ndarray, nv2: np.ndarray):
+        """Padded-verts + bbox assembly from already-OPEN vertex
+        sequences (no closing-vertex heuristics — parity sequences may
+        legitimately start and end on the same vertex)."""
+        self = cls.__new__(cls)
+        n = len(nv2)
         ends2 = np.cumsum(nv2)
         starts2 = ends2 - nv2
-        max_v = int(nv2.max())
+        max_v = int(nv2.max()) if n else 0
         # padding = each polygon's LAST vertex, broadcast across the row
         last = pts2[ends2 - 1]
         verts = np.broadcast_to(last[:, None, :], (n, max_v, 2)).copy()
         poly_idx = np.repeat(np.arange(n, dtype=np.int64), nv2)
-        within2 = within[keep]
+        within2 = (np.arange(len(pts2), dtype=np.int64)
+                   - np.repeat(starts2, nv2))
         verts[poly_idx, within2] = pts2
         bbox = np.empty((n, 4), dtype=np.float64)
         bbox[:, 0:2] = np.minimum.reduceat(pts2, starts2, axis=0)
         bbox[:, 2:4] = np.maximum.reduceat(pts2, starts2, axis=0)
         self.verts = verts
-        self.nv = nv2
+        self.nv = np.asarray(nv2, dtype=np.int64)
         self.bbox = bbox
         return self
 
     @classmethod
     def from_wkb_arrow(cls, arr) -> "PolygonSet":
-        """Vectorized decode of an Arrow binary column of single-ring
-        polygon WKB blobs — zero per-row Python (the driver-side index
-        build for 1e6-zone tables must not loop rows). Reads the
-        offsets/data buffers directly: header fields gather as uint8
-        columns, coordinate bytes gather in one fancy-index, and the
-        flat vertex array feeds :meth:`from_flat`."""
+        """Vectorized decode of an Arrow binary column of polygon WKB —
+        zero per-row Python (the driver-side index build for 1e6-zone
+        tables must not loop rows). Reads the offsets/data buffers
+        directly: header fields gather as uint8 columns, coordinate
+        bytes gather in one fancy-index. Single-ring Polygon batches
+        take a one-gather fast path; batches containing holes and/or
+        MultiPolygons go through the wave-machine general path
+        (:meth:`_from_wkb_arrow_general`), which folds each blob's
+        rings into its :func:`parity_sequence`. Semantics pytest-equal
+        to per-blob :func:`wkb_decode`."""
         import pyarrow as pa
 
         if isinstance(arr, pa.ChunkedArray):
@@ -202,25 +310,138 @@ class PolygonSet:
 
         if (data[start] != 1).any():
             raise ValueError("only little-endian WKB supported")
-        if (u32(start + 1) != 3).any():
+        gtype = u32(start + 1)
+        if (~np.isin(gtype, (3, 6))).any():
             raise ValueError("from_wkb_arrow: non-polygon geometry")
-        nrings = u32(start + 5)
-        if (nrings != 1).any():
-            # single-ring only, loudly: decoding just the outer ring of
-            # a donut polygon would put hole-interior points IN the zone
-            raise ValueError(
-                "from_wkb_arrow: expected exactly 1 ring per polygon "
-                "(empty or multi-ring/hole WKB is not supported)")
-        npts = u32(start + 9)
-        nbytes = npts * 16
-        if ((offsets[1:] - start) < 13 + nbytes).any():
-            raise ValueError("from_wkb_arrow: truncated blob")
-        # one gather for every coordinate byte of the batch
-        dst_end = np.cumsum(nbytes)
-        idx = (np.arange(int(dst_end[-1]), dtype=np.int64)
-               + np.repeat(start + 13 - (dst_end - nbytes), nbytes))
-        flat = data[idx].view("<f8")
-        return cls.from_flat(flat.reshape(-1, 2), npts)
+        if (gtype == 3).all():
+            nrings = u32(start + 5)
+            if (nrings == 0).any():
+                raise ValueError("from_wkb_arrow: polygon with 0 rings")
+            if (nrings == 1).all():
+                # fast path: fixed [13-byte header][npts*16] layout
+                npts = u32(start + 9)
+                nbytes = npts * 16
+                if ((offsets[1:] - start) < 13 + nbytes).any():
+                    raise ValueError("from_wkb_arrow: truncated blob")
+                # one gather for every coordinate byte of the batch
+                dst_end = np.cumsum(nbytes)
+                idx = (np.arange(int(dst_end[-1]), dtype=np.int64)
+                       + np.repeat(start + 13 - (dst_end - nbytes),
+                                   nbytes))
+                flat = data[idx].view("<f8")
+                return cls.from_flat(flat.reshape(-1, 2), npts)
+        return cls._from_wkb_arrow_general(data, offsets, start, gtype,
+                                           u32)
+
+    @classmethod
+    def _from_wkb_arrow_general(cls, data, offsets, start, gtype, u32):
+        """Wave-machine decode of mixed Polygon / donut / MultiPolygon
+        WKB: a vectorized state machine whose per-blob state is
+        (cursor, rings-left-in-part, parts-left). Each WAVE reads the
+        next ring of every active blob in one set of numpy gathers, so
+        python-level iteration is bounded by max rings-per-blob
+        (structural, small), never by row count. Each blob's rings then
+        fold into its :func:`parity_sequence` (ring 0 open; per extra
+        ring [anchor, ring open, ring[0]]) with repeat/cumsum assembly
+        — identical layout to the scalar :func:`wkb_decode`."""
+        n = len(start)
+        cur = np.empty(n, dtype=np.int64)
+        rings_left = np.zeros(n, dtype=np.int64)
+        parts_left = np.zeros(n, dtype=np.int64)
+        is_poly = gtype == 3
+        head = u32(start + 5)
+        rings_left[is_poly] = head[is_poly]
+        parts_left[~is_poly] = head[~is_poly]
+        cur[:] = start + 9
+        if (is_poly & (rings_left == 0)).any() \
+                or (~is_poly & (parts_left == 0)).any():
+            raise ValueError("from_wkb_arrow: empty geometry")
+        blob_end = offsets[1:]
+
+        ring_blob: list[np.ndarray] = []
+        ring_npts: list[np.ndarray] = []
+        ring_pts: list[np.ndarray] = []
+        wave = 0
+        wave_ids: list[np.ndarray] = []
+        while True:
+            need_part = (rings_left == 0) & (parts_left > 0)
+            if need_part.any():
+                p = np.flatnonzero(need_part)
+                if (data[cur[p]] != 1).any() \
+                        or (u32(cur[p] + 1) != 3).any():
+                    raise ValueError(
+                        "from_wkb_arrow: bad MultiPolygon part header")
+                rl = u32(cur[p] + 5)
+                if (rl == 0).any():
+                    raise ValueError(
+                        "from_wkb_arrow: part with zero rings")
+                rings_left[p] = rl
+                cur[p] += 9
+                parts_left[p] -= 1
+            act = np.flatnonzero(rings_left > 0)
+            if len(act) == 0:
+                break
+            npts = u32(cur[act])
+            if (npts == 0).any():
+                raise ValueError("from_wkb_arrow: empty ring")
+            nbytes = npts * 16
+            if ((cur[act] + 4 + nbytes) > blob_end[act]).any():
+                raise ValueError("from_wkb_arrow: truncated blob")
+            dst_end = np.cumsum(nbytes)
+            idx = (np.arange(int(dst_end[-1]), dtype=np.int64)
+                   + np.repeat(cur[act] + 4 - (dst_end - nbytes), nbytes))
+            ring_blob.append(act)
+            ring_npts.append(npts)
+            ring_pts.append(data[idx].view("<f8").reshape(-1, 2))
+            wave_ids.append(np.full(len(act), wave, dtype=np.int64))
+            cur[act] += 4 + nbytes
+            rings_left[act] -= 1
+            wave += 1
+
+        rb = np.concatenate(ring_blob)
+        rn = np.concatenate(ring_npts)
+        rpts = np.vstack(ring_pts)
+        wi = np.concatenate(wave_ids)
+        r_end = np.cumsum(rn)
+        r_start = r_end - rn
+        # open each ring (strip explicit closing vertex)
+        first = rpts[r_start]
+        closed = (rn > 1) & (first == rpts[r_end - 1]).all(axis=1)
+        nv_open = rn - closed
+
+        # group rings by blob, preserving ring order (== wave order:
+        # every wave reads exactly the NEXT ring of each active blob)
+        order = np.lexsort((wi, rb))
+        rb_o = rb[order]
+        nv_o = nv_open[order]
+        src_o = r_start[order]
+        first_o = first[order]
+        counts = np.bincount(rb_o, minlength=n)   # rings per blob (>=1)
+        grp_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ring_idx = (np.arange(len(rb_o), dtype=np.int64)
+                    - np.repeat(grp_start, counts))
+        extra = (ring_idx > 0).astype(np.int64)
+
+        # parity-sequence segment per ring: [anchor]? + open ring + [r0]?
+        seg_len = nv_o + 2 * extra
+        seg_start = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+        total = int(seg_len.sum())
+        out = np.empty((total, 2), dtype=np.float64)
+        # ring vertices (one flat gather)
+        excl = np.concatenate([[0], np.cumsum(nv_o)[:-1]])
+        within = (np.arange(int(nv_o.sum()), dtype=np.int64)
+                  - np.repeat(excl, nv_o))
+        out[np.repeat(seg_start + extra, nv_o) + within] = \
+            rpts[np.repeat(src_o, nv_o) + within]
+        # bridges: anchor copy before, ring-first copy after
+        anchors = first_o[grp_start]                # per blob (ring 0)
+        ex = np.flatnonzero(extra)
+        out[seg_start[ex]] = anchors[rb_o[ex]]
+        out[seg_start[ex] + 1 + nv_o[ex]] = first_o[ex]
+
+        blob_nv = np.bincount(rb_o, weights=seg_len,
+                              minlength=n).astype(np.int64)
+        return cls._assemble_open(out, blob_nv)
 
     def take(self, idxs) -> "PolygonSet":
         """Vectorized row subset (keeps the parent's padding width —

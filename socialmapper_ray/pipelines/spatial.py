@@ -136,6 +136,45 @@ def pip_join_concave_sql(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# PIP join against donut / MultiPolygon zones — holes + multi-part path
+# ---------------------------------------------------------------------------
+
+def pip_join_holes_q(sf_dir: str):
+    """Same engine code as pip_join but probing the donut/multipart
+    zone table (polygons with interior rings, two-hole polygons,
+    MultiPolygons — geom.parity_sequence containment). Oracle:
+    crossing-number parity in SQL over EVERY ring's edges — even-odd
+    over all rings is exactly hole/multi-part containment."""
+    ds = tile_mod.tile_points(_extracted_valid(sf_dir))
+    index_ref = pip_mod.build_zone_index(
+        synth.table_path(sf_dir, "zones_donut"))
+    return pip_mod.pip_join(ds, index_ref, keep_cols=("url",))
+
+
+def pip_join_holes_sql(d: str) -> str:
+    return f"""
+    WITH cand AS (
+      SELECT p.url, p.lat, p.lon, z.zone_id
+      FROM read_parquet('{d}/pois_truth.parquet') p
+      JOIN read_parquet('{d}/zones_donut.parquet') z
+        ON p.lon >= z.lon_min AND p.lon <= z.lon_max
+       AND p.lat >= z.lat_min AND p.lat <= z.lat_max
+      WHERE p.has_geo)
+    SELECT url, zone_id FROM (
+      SELECT c.url, c.zone_id,
+        SUM(CASE WHEN ((e.y1 > c.lat) <> (e.y2 > c.lat))
+              AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1)
+                                   / (e.y2 - e.y1)
+            THEN 1 ELSE 0 END) AS crossings
+      FROM cand c
+      JOIN read_parquet('{d}/zone_donut_edges.parquet') e
+        ON c.zone_id = e.zone_id
+      GROUP BY c.url, c.zone_id)
+    WHERE crossings % 2 = 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # Zonal aggregation
 # ---------------------------------------------------------------------------
 

@@ -40,7 +40,7 @@ SYNTH_ROOT = "/tmp/smray_synth"
 
 #: bump when generator output changes shape/content — stale cached
 #: worlds under /tmp regenerate instead of poisoning oracle runs
-SYNTH_VERSION = "6"
+SYNTH_VERSION = "7"
 
 # World bbox (CONUS-ish, mid-latitudes)
 LAT_MIN, LAT_MAX = 25.0, 49.0
@@ -217,6 +217,91 @@ def build_zones(n_zones: int):
         "centroid_lon": pa.array(zone_rows["centroid_lon"], pa.float64()),
         "centroid_lat": pa.array(zone_rows["centroid_lat"], pa.float64()),
         "n_vertices": pa.array(zone_rows["n_vertices"], pa.int64()),
+    })
+    edges = pa.table({
+        "zone_id": pa.array(e_zone),
+        "x1": pa.array(e_x1, pa.float64()), "y1": pa.array(e_y1, pa.float64()),
+        "x2": pa.array(e_x2, pa.float64()), "y2": pa.array(e_y2, pa.float64()),
+    })
+    return zones, edges
+
+
+def build_zones_donut(n_zones: int):
+    """Real-geometry zones — polygons with interior rings (holes) and
+    MultiPolygons (the TIGER block-group shapes the reference handles
+    via shapely, census/services/spatial_block_group_service.py:110-112)
+    — plus the all-rings closed edge table for the crossing-parity SQL
+    oracle (even-odd parity over EVERY ring's edges IS containment for
+    holes and multi-part zones alike). Cycle of three kinds per zone:
+    one-hole donut, two-hole polygon, two-part MultiPolygon whose
+    second part has a hole."""
+    z = np.arange(n_zones, dtype=np.uint64)
+    clat = LAT_MIN + 2.5 + _hash_unit(z, 811) * (LAT_MAX - LAT_MIN - 5.0)
+    clon = LON_MIN + 2.5 + _hash_unit(z, 822) * (LON_MAX - LON_MIN - 5.0)
+    r_out = 0.6 + _hash_unit(z, 833) * 1.2
+    nv = 6 + (splitmix64(z ^ _U(844)) % _U(5)).astype(np.int64)  # 6..10
+    phase = _hash_unit(z, 855) * 2.0 * np.pi
+
+    rows = {k: [] for k in ("zone_id", "geom_kind", "wkb", "lon_min",
+                            "lat_min", "lon_max", "lat_max")}
+    e_zone, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], []
+
+    def add_ring_edges(gid: str, ring: np.ndarray):
+        nxt = np.roll(np.arange(len(ring)), -1)
+        for i, j in zip(range(len(ring)), nxt):
+            e_zone.append(gid)
+            e_x1.append(ring[i, 0]); e_y1.append(ring[i, 1])
+            e_x2.append(ring[j, 0]); e_y2.append(ring[j, 1])
+
+    for k in range(n_zones):
+        la, lo, r = float(clat[k]), float(clon[k]), float(r_out[k])
+        n, ph = int(nv[k]), float(phase[k])
+        kind = k % 3
+        if kind == 0:
+            outer = geom.regular_polygon(la, lo, r, n, ph)
+            hole = geom.regular_polygon(la, lo, 0.45 * r, max(4, n - 2),
+                                        ph + 0.3)
+            rings = [outer, hole]
+            blob = geom.wkb_polygon(outer, holes=[hole])
+            gk = "donut"
+        elif kind == 1:
+            outer = geom.regular_polygon(la, lo, r, n, ph)
+            h1 = geom.regular_polygon(la, lo - 0.45 * r, 0.17 * r, 5,
+                                      ph + 0.5)
+            h2 = geom.regular_polygon(la, lo + 0.45 * r, 0.17 * r, 6,
+                                      ph + 1.1)
+            rings = [outer, h1, h2]
+            blob = geom.wkb_polygon(outer, holes=[h1, h2])
+            gk = "two_holes"
+        else:
+            pa_o = geom.regular_polygon(la, lo - 0.5 * r, 0.34 * r, n, ph)
+            pb_o = geom.regular_polygon(la, lo + 0.5 * r, 0.44 * r,
+                                        max(5, n - 1), ph + 0.7)
+            pb_h = geom.regular_polygon(la, lo + 0.5 * r, 0.18 * r, 4,
+                                        ph + 1.4)
+            rings = [pa_o, pb_o, pb_h]
+            blob = geom.wkb_multipolygon([pa_o, (pb_o, [pb_h])])
+            gk = "multi"
+        gid = f"D{k:011d}"
+        allv = np.vstack(rings)
+        rows["zone_id"].append(gid)
+        rows["geom_kind"].append(gk)
+        rows["wkb"].append(blob)
+        rows["lon_min"].append(allv[:, 0].min())
+        rows["lat_min"].append(allv[:, 1].min())
+        rows["lon_max"].append(allv[:, 0].max())
+        rows["lat_max"].append(allv[:, 1].max())
+        for ring in rings:
+            add_ring_edges(gid, ring)
+
+    zones = pa.table({
+        "zone_id": pa.array(rows["zone_id"]),
+        "geom_kind": pa.array(rows["geom_kind"]),
+        "wkb": pa.array(rows["wkb"], pa.binary()),
+        "lon_min": pa.array(rows["lon_min"], pa.float64()),
+        "lat_min": pa.array(rows["lat_min"], pa.float64()),
+        "lon_max": pa.array(rows["lon_max"], pa.float64()),
+        "lat_max": pa.array(rows["lat_max"], pa.float64()),
     })
     edges = pa.table({
         "zone_id": pa.array(e_zone),
@@ -403,6 +488,7 @@ def build_road_network(centers: pa.Table):
 
 TABLES = ("pages", "pois_truth", "zones", "zone_edges", "demographics",
           "band_centers", "zones_star", "zone_star_edges",
+          "zones_donut", "zone_donut_edges",
           "road_nodes", "road_edges", "road_sources")
 
 
@@ -491,6 +577,7 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
         truth = pa.concat_tables(t_parts)
     zones, edges = build_zones(n_zones)
     zones_star, star_edges = build_zones_star(max(20, n_zones // 4))
+    zones_donut, donut_edges = build_zones_donut(max(21, n_zones // 4))
     demo = build_demographics(zones["zone_id"].to_pylist())
     centers = build_band_centers(n_centers)
     road_nodes, road_edges, road_sources = build_road_network(centers)
@@ -499,6 +586,7 @@ def ensure_synth(sf_dir: str, replicate: int = 1) -> str:
     os.makedirs(tmp, exist_ok=True)
     for name, tbl in zip(TABLES, (pages, truth, zones, edges, demo, centers,
                                   zones_star, star_edges,
+                                  zones_donut, donut_edges,
                                   road_nodes, road_edges, road_sources)):
         if name == "pages":
             # pages is the big streamed input: write a DIRECTORY of

@@ -178,29 +178,113 @@ def test_polygonset_take_equals_rebuild():
     assert np.array_equal(m1, m2)
 
 
-def test_multi_ring_wkb_rejected_both_decoders():
-    """Donut (multi-ring) WKB must raise in BOTH decode paths — silently
-    decoding the outer ring would classify hole-interior points as
-    inside the zone."""
+def _mixed_real_geometry_blobs():
+    """Donut, two-hole polygon, MultiPolygon (one part holed), plain
+    triangle — the real-geometry shapes of census zone tables."""
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[3, 3], [7, 3], [7, 7], [3, 7]], float)
+    h1 = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], float)
+    h2 = np.array([[8, 8], [9, 8], [9, 9], [8, 9]], float)
+    p1 = np.array([[20, 0], [24, 0], [24, 4], [20, 4]], float)
+    p2o = np.array([[30, 0], [40, 0], [40, 10], [30, 10]], float)
+    p2h = np.array([[33, 3], [37, 3], [37, 7], [33, 7]], float)
+    tri = np.array([[50, 0], [60, 0], [55, 8]], float)
+    return [
+        geom.wkb_polygon(outer, holes=[hole]),
+        geom.wkb_polygon(outer, holes=[h1, h2]),
+        geom.wkb_multipolygon([p1, (p2o, [p2h])]),
+        geom.wkb_polygon(tri),
+    ]
+
+
+def test_multi_ring_wkb_decodes_and_contains():
+    """Polygons with holes and MultiPolygons decode in BOTH paths
+    (scalar == vectorized, including parity-sequence layout) and the
+    UNCHANGED crossing-parity PIP kernel gives even-odd containment:
+    hole-interior points are OUT, each disjoint part is IN."""
+    import pyarrow as pa
+
+    blobs = _mixed_real_geometry_blobs()
+    a = geom.PolygonSet.from_wkb(blobs)
+    b = geom.PolygonSet.from_wkb_arrow(pa.array(blobs, pa.binary()))
+    assert np.array_equal(a.verts, b.verts)
+    assert np.array_equal(a.nv, b.nv)
+    assert np.array_equal(a.bbox, b.bbox)
+    # mixed with single-ring forces the general wave path for all rows;
+    # sliced array offset must still decode correctly
+    sl = pa.array(blobs, pa.binary()).slice(1)
+    c = geom.PolygonSet.from_wkb_arrow(sl)
+    a1 = geom.PolygonSet.from_wkb(blobs[1:])
+    assert np.array_equal(a1.verts, c.verts)
+
+    idx = geom.GridIndex(b, bin_deg=2.0)
+    pts = np.array([
+        [5.0, 1.0],    # donut ring area        -> in 0 (and 1)
+        [5.0, 5.0],    # donut hole             -> out of 0, in 1
+        [1.5, 1.5],    # two-hole poly hole 1   -> out of 1, in 0
+        [22.0, 2.0],   # multi part 1           -> in 2
+        [35.0, 5.0],   # multi part 2's hole    -> out
+        [31.0, 1.0],   # multi part 2 ring area -> in 2
+        [55.0, 3.0],   # triangle               -> in 3
+        [15.0, 5.0],   # nowhere
+    ])
+    pt, poly = idx.query(pts[:, 0], pts[:, 1])
+    got = sorted(zip(pt.tolist(), poly.tolist()))
+    assert got == [(0, 0), (0, 1), (1, 1), (2, 0), (3, 2), (5, 2),
+                   (6, 3)]
+
+
+def test_multi_ring_parity_vs_per_ring_reference():
+    """2000 random probes x mixed shapes: the parity-sequence kernel
+    equals a brute per-ring even-odd reference on every pair."""
+    import pyarrow as pa
+
+    blobs = _mixed_real_geometry_blobs()
+    ps = geom.PolygonSet.from_wkb_arrow(pa.array(blobs, pa.binary()))
+    rings_by_blob = [geom.wkb_decode_rings(bl)[1] for bl in blobs]
+    m = len(ps)
+    rnd = np.column_stack([RNG.uniform(-2, 62, 2000),
+                           RNG.uniform(-2, 12, 2000)])
+    pp = np.repeat(np.arange(len(rnd)), m)
+    pz = np.tile(np.arange(m), len(rnd))
+    mask = geom.points_in_polygons(rnd[:, 0], rnd[:, 1], ps, pp,
+                                   pz).reshape(len(rnd), m)
+
+    def ring_parity(p, rings):
+        cnt = 0
+        for r in rings:
+            r = np.asarray(r, float)
+            if len(r) > 1 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            k = len(r)
+            for i in range(k):
+                x1, y1 = r[i]
+                x2, y2 = r[(i + 1) % k]
+                if (y1 > p[1]) != (y2 > p[1]):
+                    if p[0] < x1 + (p[1] - y1) * (x2 - x1) / (y2 - y1):
+                        cnt ^= 1
+        return cnt
+
+    for j in range(m):
+        ref = np.array([ring_parity(p, rings_by_blob[j]) for p in rnd],
+                       bool)
+        assert np.array_equal(mask[:, j], ref), f"poly {j}"
+
+
+def test_zero_ring_wkb_rejected_both_decoders():
     import struct
 
     import pyarrow as pa
 
-    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
-    inner = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)
-
-    def ring_bytes(c):
-        return struct.pack("<I", len(c)) + c.astype("<f8").tobytes()
-
-    donut = struct.pack("<BII", 1, 3, 2) + ring_bytes(outer) \
-        + ring_bytes(inner)
-    with pytest.raises(ValueError, match="ring"):
-        geom.wkb_decode(donut)
-    with pytest.raises(ValueError, match="ring"):
-        geom.PolygonSet.from_wkb_arrow(pa.array([donut], pa.binary()))
-    # zero-ring polygons are equally refused
     empty = struct.pack("<BII", 1, 3, 0)
     with pytest.raises(ValueError, match="ring"):
         geom.wkb_decode(empty)
     with pytest.raises(ValueError, match="ring"):
         geom.PolygonSet.from_wkb_arrow(pa.array([empty], pa.binary()))
+    # an empty ring inside an otherwise-valid donut is refused too
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    bad = (struct.pack("<BII", 1, 3, 2)
+           + struct.pack("<I", len(outer)) + outer.astype("<f8").tobytes()
+           + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="ring"):
+        geom.PolygonSet.from_wkb_arrow(pa.array([bad], pa.binary()))
