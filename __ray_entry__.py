@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": tp.embedding_kmeans_q,
         "semantic_dedup": tp.semantic_dedup_q,
         "media_png_decode": tp.media_png_decode_q,
+        "media_jpeg_decode": tp.media_jpeg_decode_q,
         "events_p99_filter": rel.events_p99_filter,
         "doc_rarity": tp.doc_rarity_q,
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,

@@ -476,6 +476,44 @@ def media_png_decode_q(sf_dir: str, hw: int = 24):
         batch_format="pandas")
 
 
+def media_jpeg_decode_q(sf_dir: str, hw: int = 24):
+    """REAL baseline-JPEG decode through the actor-pool media stage —
+    the JPEG twin of :func:`media_png_decode_q`. Payloads are genuine
+    baseline JPEGs (one deterministic image per doc_id, encoded
+    in-stream by the from-scratch T.81 encoder at 4:4:4) and the stage
+    decodes them with the from-scratch decoder — struct + numpy end to
+    end, no codec library. Rows-only driver check; the codec's
+    analytic flat-block goldens, 4:2:0 path, restart intervals and
+    roundtrip error bounds are pinned in tests/test_jpeg.py.
+    """
+    from ..stages import multimodal
+    from ..stages.jpeg import jpeg_encode
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.multimodal import fake_decode_image
+
+        blobs = [jpeg_encode(fake_decode_image(
+            int(i).to_bytes(8, "little"), hw, hw), quality=90)
+            for i in df["doc_id"]]
+        return pd.DataFrame({"media_id": df["doc_id"].astype(np.int64),
+                             "payload": blobs})
+
+    media = ds.map_batches(make_payload, batch_format="pandas")
+    out = multimodal.decode_media(media,
+                                  decoder_cls=multimodal.JpegImageDecoder)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "media_id": df["media_id"].astype(np.int64),
+            "height": df["height"].astype(np.int64),
+            "width": df["width"].astype(np.int64),
+            "channels": df["channels"].astype(np.int64),
+            "mean_r": df["mean_r"], "mean_g": df["mean_g"],
+            "mean_b": df["mean_b"]}),
+        batch_format="pandas")
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

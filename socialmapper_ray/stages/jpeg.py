@@ -1,0 +1,587 @@
+"""From-scratch baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+Companion to the PNG codec in :mod:`raster` — closes the most common
+real image format with zero external dependencies (this container has
+no PIL/libjpeg). Scope: baseline sequential DCT (SOF0), 8-bit samples,
+Huffman entropy coding, grayscale or YCbCr (any 1-2 sampling factors,
+so 4:4:4 / 4:2:2 / 4:2:0 all decode), restart intervals. Progressive
+(SOF2), arithmetic coding and 12-bit precision raise loudly — a silent
+wrong decode is worse than a refusal (same posture as the PNG path and
+the multi-ring WKB decoders).
+
+Decode pipeline: segment parse -> per-segment Huffman tables (a 16-bit
+peek LUT per table: canonical JPEG codes are MSB-first prefix codes, so
+one 65536-entry symbol/length lookup decodes any code in O(1)) ->
+entropy decode per MCU (python loop over symbols; blocks are small and
+the stage runs inside an actor pool — the documented optimization path
+is a table-driven numpy scan) -> vectorized dezigzag + dequantize +
+exact matrix IDCT over ALL blocks of a component at once -> plane
+assembly + nearest-neighbor chroma upsample -> JFIF YCbCr->RGB.
+
+The encoder exists for test vectors and the JPEG sink: 4:4:4, standard
+Annex-K-style tables (any valid prefix code round-trips; decode reads
+tables from the FILE, so decoder correctness never depends on the
+encoder's table choice). Golden tests pin analytically-known outputs
+(flat blocks quantize exactly) plus encode->decode error bounds.
+
+Reference parity: the reference pipeline ingests arbitrary web images
+via PIL (it never reimplements codecs); this module is the engine's
+equivalent capability for the dominant crawl image format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared constants
+# ---------------------------------------------------------------------------
+
+
+def _zigzag() -> np.ndarray:
+    order = []
+    for s in range(15):
+        rs = (range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0
+              else range(max(0, s - 7), min(s, 7) + 1))
+        for r in rs:
+            order.append(r * 8 + (s - r))
+    return np.asarray(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag()                      # zigzag position -> raster index
+UNZIG = np.argsort(ZIGZAG)              # raster index -> zigzag position
+
+
+def _idct_matrix() -> np.ndarray:
+    """A[u, x] = c(u)/2 * cos((2x+1)u*pi/16); spatial = A.T @ F @ A."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_A = _idct_matrix()
+
+# Annex-K-style quantization tables (public spec, T.81 Tables K.1/K.2)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, dtype=np.int64)
+
+# Standard-shape Huffman specs (bits-per-length, then values). Any
+# valid prefix code works — the decoder always reads tables from DHT.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+
+def _ac_vals() -> list[int]:
+    """AC value list in the standard layout: (run, size) symbols ordered
+    by code length; generated, not transcribed (0x00=EOB, 0xF0=ZRL)."""
+    vals = [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72]
+    seen = set(vals)
+    for run in range(16):
+        for size in range(1, 11):
+            s = (run << 4) | size
+            if s not in seen:
+                vals.append(s)
+                seen.add(s)
+    return vals
+
+
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_VALS = _ac_vals()
+assert len(AC_VALS) == sum(AC_BITS) == 162
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+# ---------------------------------------------------------------------------
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(value, code, length) triples per JPEG canonical assignment."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecodeTable:
+    """16-bit peek LUT: lut_sym[peek16] = symbol, lut_len[peek16] = code
+    length (0 where no code matches — corrupt stream)."""
+
+    __slots__ = ("sym", "length")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.sym = np.zeros(1 << 16, dtype=np.int16)
+        self.length = np.zeros(1 << 16, dtype=np.uint8)
+        for v, code, ln in _canonical_codes(bits, vals):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            self.sym[lo:hi] = v
+            self.length[lo:hi] = ln
+
+
+class _HuffEncodeTable:
+    __slots__ = ("code", "length")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.code = {}
+        self.length = {}
+        for v, code, ln in _canonical_codes(bits, vals):
+            self.code[v] = code
+            self.length[v] = ln
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader over UNSTUFFED entropy bytes."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data + b"\xff\xff\xff\xff"   # peek pad (all-1 bits)
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        v = int.from_bytes(self.data[byte:byte + 4], "big")
+        return (v >> (16 - (self.pos & 7))) & 0xFFFF
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("jpeg: entropy stream truncated")
+        v = self.peek16() >> (16 - n)
+        self.pos += n
+        return v
+
+    def read_symbol(self, table: _HuffDecodeTable) -> int:
+        peek = self.peek16()
+        ln = int(table.length[peek])
+        if ln == 0 or self.pos + ln > self.nbits:
+            raise ValueError("jpeg: bad Huffman code (corrupt stream)")
+        self.pos += ln
+        return int(table.sym[peek])
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG magnitude decode: s-bit value -> signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:               # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def jpeg_decode(blob: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, C) uint8 (C = 1 or 3, RGB).
+
+    Raises ValueError on anything that is not a well-formed baseline
+    sequential JPEG (progressive, arithmetic, 12-bit, truncated or
+    corrupt streams)."""
+    if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI marker")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecodeTable] = {}
+    huff_ac: dict[int, _HuffDecodeTable] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(blob)
+    while True:
+        if i + 4 > n:
+            raise ValueError("jpeg: truncated before SOS")
+        if blob[i] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = blob[i + 1]
+        i += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                     # standalone markers
+        (seg_len,) = struct.unpack_from(">H", blob, i)
+        seg = blob[i + 2: i + seg_len]
+        i += seg_len
+        if marker == 0xC4:               # DHT
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1: p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17: p + 17 + nv])
+                table = _HuffDecodeTable(bits, vals)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 15] = table
+                else:
+                    huff_ac[tc_th & 15] = table
+                p += 17 + nv
+        elif marker == 0xDB:             # DQT
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4 == 0:
+                    q = np.frombuffer(seg, np.uint8, 64, p + 1) \
+                        .astype(np.int64)
+                    p += 65
+                else:                    # 16-bit precision
+                    q = np.frombuffer(seg, ">u2", 64, p + 1) \
+                        .astype(np.int64)
+                    p += 129
+                qt[pq_tq & 15] = q
+        elif marker == 0xC0:             # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline sequential DCT (SOF0) is supported "
+                f"(got SOF marker 0x{marker:02X}; progressive/arithmetic "
+                "streams are refused, not mis-decoded)")
+        elif marker == 0xDD:             # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:             # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * c)
+                comp = next(cc for cc in frame["comps"]
+                            if cc["id"] == cs)
+                scan.append((comp, td_ta >> 4, td_ta & 15))
+            return _decode_scan(blob, i, frame, scan, qt, huff_dc,
+                                huff_ac, restart_interval)
+        # else: APPn / COM / unknown -> skipped
+    raise ValueError("jpeg: no SOS segment")
+
+
+def _split_entropy(blob: bytes, i: int):
+    """Entropy-coded bytes from offset i: unstuff FF00, split at RSTn,
+    stop at the next true marker. Returns (segments, stuffed-length)."""
+    data = np.frombuffer(blob, dtype=np.uint8, count=len(blob) - i,
+                         offset=i)
+    ff = np.flatnonzero(data == 0xFF)
+    segs: list[bytes] = []
+    keep_start = 0
+    drops: list[int] = []
+    parts: list[tuple[int, int, list[int]]] = []
+    for f in ff.tolist():
+        if f + 1 >= len(data):
+            raise ValueError("jpeg: dangling 0xFF at end of stream")
+        nxt = data[f + 1]
+        if nxt == 0x00:
+            drops.append(f + 1)          # stuffed zero
+        elif 0xD0 <= nxt <= 0xD7:        # restart marker
+            parts.append((keep_start, f, drops))
+            drops = []
+            keep_start = f + 2
+        else:                            # real marker terminates scan
+            parts.append((keep_start, f, drops))
+            raw = data.tobytes()
+            out = []
+            for s, e, dr in parts:
+                b = bytearray(raw[s:e])
+                for d in reversed(dr):
+                    del b[d - s]
+                out.append(bytes(b))
+            return out, f
+    raise ValueError("jpeg: scan not terminated by a marker (no EOI)")
+
+
+def _decode_scan(blob, i, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = [s[0] for s in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ValueError("jpeg: sampling factors beyond 1-2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    segments, _ = _split_entropy(blob, i)
+    per_seg = restart_interval if restart_interval else n_mcus
+    if -(-n_mcus // per_seg) != len(segments):
+        raise ValueError(
+            f"jpeg: expected {-(-n_mcus // per_seg)} entropy segments "
+            f"for {n_mcus} MCUs at restart interval {per_seg}, got "
+            f"{len(segments)}")
+
+    # entropy decode: per component, zigzag coeff rows in MCU-block order
+    coeffs = [np.zeros((n_mcus * c["h"] * c["v"], 64), dtype=np.int32)
+              for c in comps]
+    block_n = [0] * len(comps)
+    mcu = 0
+    for seg_bytes in segments:
+        rd = _BitReader(seg_bytes)
+        pred = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            for ci, (comp, td, ta) in enumerate(scan):
+                dc_t = huff_dc.get(td)
+                ac_t = huff_ac.get(ta)
+                if dc_t is None or ac_t is None:
+                    raise ValueError("jpeg: scan references missing "
+                                     "Huffman table")
+                for _b in range(comp["h"] * comp["v"]):
+                    row = coeffs[ci][block_n[ci]]
+                    s = rd.read_symbol(dc_t)
+                    if s > 11:
+                        raise ValueError("jpeg: invalid DC category")
+                    diff = _extend(rd.read_bits(s), s) if s else 0
+                    pred[ci] += diff
+                    row[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = rd.read_symbol(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16          # ZRL
+                                continue
+                            break                # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC run overflow")
+                        row[k] = _extend(rd.read_bits(s), s)
+                        k += 1
+                    block_n[ci] += 1
+            mcu += 1
+
+    # dequantize + dezigzag + IDCT, vectorized per component
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError("jpeg: missing quantization table")
+        zz = coeffs[ci].astype(np.float64) * q[np.newaxis, :]
+        rast = np.zeros_like(zz)
+        rast[:, ZIGZAG] = zz             # zigzag position -> raster
+        blocks = rast.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A) + 128.0
+        # assemble: blocks are in MCU order, h*v per MCU (row-major
+        # within the MCU)
+        ch, cv = comp["h"], comp["v"]
+        bx, by = mcus_x * ch, mcus_y * cv
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        bidx = 0
+        grid = spatial.reshape(n_mcus, cv, ch, 8, 8)
+        for my in range(mcus_y):
+            row = grid[my * mcus_x:(my + 1) * mcus_x]  # (mcus_x,cv,ch,8,8)
+            row = row.transpose(1, 3, 0, 2, 4).reshape(cv * 8, mcus_x * ch * 8)
+            plane[my * cv * 8:(my + 1) * cv * 8] = row
+        del bidx
+        # crop to the component's true size, then upsample to full res
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        plane = plane[:chh, :cw]
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                              hmax // ch, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    if len(planes) != 3:
+        raise ValueError("jpeg: only 1- or 3-component scans supported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (4:4:4 or grayscale; test vectors + JPEG sink)
+# ---------------------------------------------------------------------------
+
+def _quality_tables(quality: int):
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    lq = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
+    cq = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return lq.astype(np.int64), cq.astype(np.int64)
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float64, H/W multiples of 8 -> (n_blocks, 8, 8) DCT
+    coefficients in raster block order (row-major)."""
+    hh, ww = plane.shape
+    blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8)
+    return np.einsum("xu,nxy,yv->nuv", _A.T, blocks, _A.T)
+
+
+def _encode_block(wtr: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_t: _HuffEncodeTable, ac_t: _HuffEncodeTable) -> int:
+    def category(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    dc = int(zz[0])
+    diff = dc - pred
+    s = category(diff)
+    wtr.write(dc_t.code[s], dc_t.length[s])
+    if s:
+        wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wtr.write(ac_t.code[0xF0], ac_t.length[0xF0])  # ZRL
+            run -= 16
+        s = category(v)
+        sym = (run << 4) | s
+        wtr.write(ac_t.code[sym], ac_t.length[sym])
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        wtr.write(ac_t.code[0x00], ac_t.length[0x00])      # EOB
+    return dc
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 -> baseline
+    JPEG bytes (4:4:4, no subsampling — exactness over size)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype != np.uint8 or img.ndim != 3 \
+            or img.shape[2] not in (1, 3):
+        raise ValueError("jpeg_encode: need (H, W, 1|3) uint8")
+    h, w, nc = img.shape
+    lq, cq = _quality_tables(quality)
+    f = img.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        qts = [lq, cq, cq]
+        tsel = [0, 1, 1]
+    else:
+        planes = [f[..., 0]]
+        qts = [lq]
+        tsel = [0]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    dc_tabs = [_HuffEncodeTable(DC_LUMA_BITS, DC_LUMA_VALS),
+               _HuffEncodeTable(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tabs = [_HuffEncodeTable(AC_BITS, AC_VALS),
+               _HuffEncodeTable(AC_BITS, AC_VALS)]
+
+    comp_zz = []
+    for p, q in zip(planes, qts):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        coef = _fdct_blocks(pad).reshape(-1, 64)
+        zzc = np.round(coef[:, ZIGZAG] / q[np.newaxis, :]).astype(np.int64)
+        comp_zz.append(zzc)
+
+    out = bytearray()
+    out += b"\xff\xd8"                                        # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])                  # APP0
+    for tq, q in enumerate([lq] if nc == 1 else [lq, cq]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
+            + bytes(int(v) for v in q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, tsel[c]])
+    for cls, tabs, bits, vals in (
+            (0, dc_tabs, (DC_LUMA_BITS, DC_CHROMA_BITS),
+             (DC_LUMA_VALS, DC_CHROMA_VALS)),
+            (1, ac_tabs, (AC_BITS, AC_BITS), (AC_VALS, AC_VALS))):
+        for t in range(1 if nc == 1 else 2):
+            payload = bytes(bits[t]) + bytes(vals[t])
+            out += b"\xff\xc4" + struct.pack(">HB", 3 + len(payload),
+                                             (cls << 4) | t) + payload
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, (tsel[c] << 4) | tsel[c]])
+    out += bytes([0, 63, 0])
+
+    wtr = _BitWriter()
+    nbx, nby = pw // 8, ph // 8
+    pred = [0] * nc
+    for by in range(nby):
+        for bx in range(nbx):
+            bi = by * nbx + bx
+            for c in range(nc):
+                pred[c] = _encode_block(wtr, comp_zz[c][bi], pred[c],
+                                        dc_tabs[tsel[c]],
+                                        ac_tabs[tsel[c]])
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"                                        # EOI
+    return bytes(out)

@@ -116,6 +116,46 @@ class PngImageDecoder:
         return out
 
 
+class JpegImageDecoder:
+    """REAL image decode stage: baseline-JPEG payload bytes -> pixels
+    (stages/jpeg.py jpeg_decode, a from-scratch ITU-T T.81 baseline
+    decoder — struct + numpy only) -> per-image stats. Same actor-pool
+    shape and output contract as :class:`PngImageDecoder`; payload
+    dropped on output (wide-binary rule). Progressive / corrupt
+    payloads raise — they must surface, not pass as zeros."""
+
+    def __init__(self, payload_col: str = "payload"):
+        from .jpeg import jpeg_decode
+
+        self.payload_col = payload_col
+        self._decode = jpeg_decode
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=[self.payload_col])
+        if df.empty:
+            for c, dt in (("height", np.int64), ("width", np.int64),
+                          ("channels", np.int64), ("mean_r", np.float64),
+                          ("mean_g", np.float64), ("mean_b", np.float64)):
+                out[c] = pd.Series(dtype=dt)
+            return out
+        hs, ws, cs, means = [], [], [], []
+        for blob in df[self.payload_col]:
+            img = self._decode(bytes(blob))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            cs.append(img.shape[2])
+            rgb = img if img.shape[2] == 3 else np.repeat(img, 3, axis=2)
+            means.append(rgb.reshape(-1, 3).mean(axis=0))
+        m = np.vstack(means)
+        out["height"] = np.asarray(hs, dtype=np.int64)
+        out["width"] = np.asarray(ws, dtype=np.int64)
+        out["channels"] = np.asarray(cs, dtype=np.int64)
+        out["mean_r"] = np.round(m[:, 0], 6)
+        out["mean_g"] = np.round(m[:, 1], 6)
+        out["mean_b"] = np.round(m[:, 2], 6)
+        return out
+
+
 def decode_media(ds, decoder_cls=FakeDecoder, concurrency=2,
                  batch_size: int = 256, payload_col: str = "payload"):
     """Actor-pool decode stage over a binary payload column.
