@@ -212,6 +212,7 @@ def run_bench() -> dict:
     n_joins_8x = timed("pip_join_8x", lambda: pip_8x(False))
     timed("pip_join_partitioned_8x", lambda: pip_8x(True))
 
+    timed("pip_join_holes", lambda: sp.pip_join_holes_q(SF_DIR).count())
     timed("knn_nearest", lambda: sp.knn_q(SF_DIR).count())
     timed("band_assign", lambda: sp.bands_q(SF_DIR).count())
     timed("q1_pricing_summary",
@@ -231,6 +232,8 @@ def run_bench() -> dict:
           lambda: tp.embedding_kmeans_q(SF_DIR).count())
     timed("media_png_decode",
           lambda: tp.media_png_decode_q(SF_DIR).count())
+    timed("media_jpeg_decode",
+          lambda: tp.media_jpeg_decode_q(SF_DIR).count())
 
     headline = timings["flagship"] + timings["pip_join"]
     result = {

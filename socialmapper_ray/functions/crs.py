@@ -72,6 +72,77 @@ def from_albers(x, y):
     return np.degrees(lat), np.degrees(lon)
 
 
+# ---------------------------------------------------------------------------
+# Albers equal-area conic, ELLIPSOIDAL form (EPSG:5070 proper: GRS80,
+# std parallels 29.5/45.5, origin 23/-96). Formulas are the public
+# Snyder "Map Projections — A Working Manual" (USGS PP 1395) Albers
+# ellipsoid case; this closes the documented <0.5% spherical residual.
+# ---------------------------------------------------------------------------
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_E2 = 2.0 * _GRS80_F - _GRS80_F ** 2
+_E = np.sqrt(_E2)
+
+
+def _q_authalic(sin_lat):
+    """Snyder eq. 3-12: the authalic q for a given sin(latitude)."""
+    es = _E * sin_lat
+    return (1.0 - _E2) * (sin_lat / (1.0 - _E2 * sin_lat ** 2)
+                          - np.log((1.0 - es) / (1.0 + es)) / (2.0 * _E))
+
+
+def _m_scale(lat):
+    """Snyder eq. 14-15: m = cos(lat)/sqrt(1 - e^2 sin^2(lat))."""
+    s = np.sin(lat)
+    return np.cos(lat) / np.sqrt(1.0 - _E2 * s ** 2)
+
+
+_E_LAT1, _E_LAT2 = np.radians(29.5), np.radians(45.5)
+_E_LAT0, _E_LON0 = np.radians(23.0), np.radians(-96.0)
+_E_M1, _E_M2 = _m_scale(_E_LAT1), _m_scale(_E_LAT2)
+_E_Q0 = _q_authalic(np.sin(_E_LAT0))
+_E_Q1 = _q_authalic(np.sin(_E_LAT1))
+_E_Q2 = _q_authalic(np.sin(_E_LAT2))
+_E_N = (_E_M1 ** 2 - _E_M2 ** 2) / (_E_Q2 - _E_Q1)          # eq. 14-14
+_E_C = _E_M1 ** 2 + _E_N * _E_Q1                            # eq. 14-13
+_E_RHO0 = _GRS80_A * np.sqrt(_E_C - _E_N * _E_Q0) / _E_N    # eq. 14-12a
+
+
+def to_albers_5070(lat, lon):
+    """EPSG:4326 degrees -> EPSG:5070 meters (ellipsoidal Albers on
+    GRS80 — the reference's pyproj distance CRS,
+    distance/engine.py:111-151, computed from scratch)."""
+    la = np.radians(np.asarray(lat, dtype=np.float64))
+    lo = np.radians(np.asarray(lon, dtype=np.float64))
+    q = _q_authalic(np.sin(la))
+    rho = _GRS80_A * np.sqrt(np.maximum(_E_C - _E_N * q, 0.0)) / _E_N
+    theta = _E_N * (lo - _E_LON0)
+    return rho * np.sin(theta), _E_RHO0 - rho * np.cos(theta)
+
+
+def from_albers_5070(x, y, iters: int = 8):
+    """EPSG:5070 meters -> EPSG:4326 degrees. The latitude solves
+    q(lat) = q by Snyder's Newton iteration (eq. 3-16); 8 rounds reach
+    <1e-12 rad everywhere on CONUS."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, _E_RHO0 - y)
+    theta = np.arctan2(x, _E_RHO0 - y)
+    q = (_E_C - (rho * _E_N / _GRS80_A) ** 2) / _E_N
+    lat = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(lat)
+        es = _E * s
+        one = 1.0 - _E2 * s ** 2
+        corr = (one ** 2 / (2.0 * np.cos(lat))) * (
+            q / (1.0 - _E2) - s / one
+            + np.log((1.0 - es) / (1.0 + es)) / (2.0 * _E))
+        lat = lat + corr
+    lon = _E_LON0 + theta / _E_N
+    return np.degrees(lat), np.degrees(lon)
+
+
 def transform_batch(batch, src: str, dst: str, lat_col="lat", lon_col="lon",
                     x_col="x", y_col="y"):
     """map_batches-ready transform between named CRSs.
@@ -88,6 +159,8 @@ def transform_batch(batch, src: str, dst: str, lat_col="lat", lon_col="lon",
             x, y = to_web_mercator(lat, lon)
         elif dst == "albers":
             x, y = to_albers(lat, lon)
+        elif dst == "albers5070":
+            x, y = to_albers_5070(lat, lon)
         else:
             raise ValueError(f"unsupported dst {dst}")
         batch = batch.append_column(x_col, pa.array(x))
@@ -98,6 +171,8 @@ def transform_batch(batch, src: str, dst: str, lat_col="lat", lon_col="lon",
         lat, lon = from_web_mercator(x, y)
     elif src == "albers":
         lat, lon = from_albers(x, y)
+    elif src == "albers5070":
+        lat, lon = from_albers_5070(x, y)
     else:
         raise ValueError(f"unsupported src {src}")
     batch = batch.append_column(lat_col, pa.array(lat))

@@ -670,11 +670,17 @@ def candidate_feature_ds(ds, cand_ids_ref, feature: str = "shingles",
     return ds.map_batches(features, batch_format="pyarrow", num_cpus=0.5)
 
 
-def distinct_pairs(cands, n_buckets: int = 16):
+def distinct_pairs(cands, n_buckets: int | None = None):
     """Distributed distinct of an (a, b) pair Dataset: hash-bucket the
     pair key, per-bucket ``drop_duplicates`` (a pair's every occurrence
     lands in one bucket, so per-bucket dedup is global dedup). Extra
-    columns are dropped; output is (a, b) int64."""
+    columns are dropped; output is (a, b) int64. ``n_buckets=None``
+    auto-sizes to the cluster (each bucket is one task over pairs/B
+    rows — a data-blind constant pins parallelism AND heap)."""
+    if n_buckets is None:
+        from .hash_join import auto_buckets
+
+        n_buckets = auto_buckets()
 
     def bucketed(t) -> "pd.DataFrame":
         import pyarrow as pa
@@ -692,11 +698,16 @@ def distinct_pairs(cands, n_buckets: int = 16):
 
 
 def distinct_member_ids_ds(members, id_col: str = "doc_id",
-                           n_buckets: int = 16):
+                           n_buckets: int | None = None):
     """Distributed distinct of one int64 id column -> Dataset of the
     globally-unique ids; NOTHING reaches the driver. Per-batch
     ``np.unique`` pre-shrinks the exchange; the id-hash bucket groupby
-    makes per-bucket unique global."""
+    makes per-bucket unique global. ``n_buckets=None`` auto-sizes to
+    the cluster."""
+    if n_buckets is None:
+        from .hash_join import auto_buckets
+
+        n_buckets = auto_buckets()
 
     def batch_unique(t) -> "pd.DataFrame":
         import pyarrow as pa
@@ -713,7 +724,7 @@ def distinct_member_ids_ds(members, id_col: str = "doc_id",
 
 
 def distinct_member_ids(members, id_col: str = "doc_id",
-                        n_buckets: int = 16) -> np.ndarray:
+                        n_buckets: int | None = None) -> np.ndarray:
     """Driver-collected form of :func:`distinct_member_ids_ds` -> sorted
     numpy array. ONLY the globally-unique id array is collected — never
     the pair list it came from (strictly smaller: ids <= 2 x pairs, and

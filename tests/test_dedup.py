@@ -286,6 +286,33 @@ def test_hash_join_int_fill_exact_above_2_53(ray_session):
     assert (out["node"].astype(np.int64).to_numpy() == ids).all()
 
 
+def test_hash_join_auto_buckets_scale_with_cluster(ray_session):
+    """The default bucket count is cluster-proportional (~2/CPU, floor
+    16), never the old data-blind 16: on a >16-CPU cluster the default
+    MUST exceed 16, and the default-bucketed join equals an explicit
+    one."""
+    import ray
+    import ray.data as rd
+
+    from socialmapper_ray.stages.hash_join import auto_buckets, hash_join
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    nb = auto_buckets()
+    assert nb >= 16
+    assert nb >= 2 * cpus
+    if cpus > 16:
+        assert nb > 16
+
+    ids = np.arange(200, dtype=np.int64)
+    left = rd.from_pandas(pd.DataFrame({"k": ids}))
+    right = rd.from_pandas(pd.DataFrame({"node": ids, "val": ids * 3}))
+    got = hash_join(left, right, left_on="k", right_on="node",
+                    left_cols=["k"], right_cols=["node", "val"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert (got["k"].to_numpy() == ids).all()
+    assert (got["val"].to_numpy() == ids * 3).all()
+
+
 def test_keep_distributed_ids_above_2_53(ray_session):
     """Full keep path with >2^53 doc ids: components and keep flags
     must be bit-exact (the 100 TB hash-id shape)."""

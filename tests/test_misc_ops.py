@@ -43,6 +43,50 @@ def test_albers_roundtrip_and_equal_area_sanity():
     assert 105_000 < d < 118_000
 
 
+def test_albers_5070_ellipsoidal_properties():
+    """EPSG:5070 proper (GRS80 ellipsoidal Albers), verified without an
+    external library: (1) inverse(forward) to 1e-10 deg; (2) origin
+    anchors exact (x=0 on the central meridian, y=0 at lat0); (3) the
+    EQUAL-AREA property — numeric Jacobian of (x, y) wrt (lon, lat)
+    equals the GRS80 area element a^2(1-e^2)cos(lat)/(1-e^2 sin^2)^2 to
+    1e-6 relative; (4) the spherical form stays within its documented
+    <0.5% CONUS bound of the ellipsoidal one."""
+    rng = np.random.default_rng(6)
+    lat = rng.uniform(25, 49, 500)
+    lon = rng.uniform(-124, -67, 500)
+    x, y = crs.to_albers_5070(lat, lon)
+    la2, lo2 = crs.from_albers_5070(x, y)
+    assert np.allclose(la2, lat, atol=1e-10)
+    assert np.allclose(lo2, lon, atol=1e-10)
+    x0, y0 = crs.to_albers_5070(np.array([23.0, 37.0]),
+                                np.array([-96.0, -96.0]))
+    assert abs(x0[0]) < 1e-6 and abs(x0[1]) < 1e-6 and abs(y0[0]) < 1e-6
+    a, e2 = 6378137.0, crs._E2
+    h = 1e-6
+    for la0, lo0 in ((30.0, -100.0), (45.0, -80.0), (25.5, -120.0),
+                     (48.5, -70.0)):
+        xp, yp = crs.to_albers_5070(np.array([la0, la0 + h, la0]),
+                                    np.array([lo0, lo0, lo0 + h]))
+        dxp = (xp[1] - xp[0]) / np.radians(h)
+        dyp = (yp[1] - yp[0]) / np.radians(h)
+        dxl = (xp[2] - xp[0]) / np.radians(h)
+        dyl = (yp[2] - yp[0]) / np.radians(h)
+        jac = abs(dxl * dyp - dyl * dxp)
+        s = np.sin(np.radians(la0))
+        truth = a * a * (1 - e2) * np.cos(np.radians(la0)) \
+            / (1 - e2 * s * s) ** 2
+        assert abs(jac / truth - 1.0) < 1e-6
+    xs, ys = crs.to_albers(lat, lon)
+    assert np.hypot(x - xs, y - ys).max() < 10_000   # <0.5% CONUS bound
+    # batch plumbing
+    t = pa.table({"lat": [40.0], "lon": [-100.0]})
+    out = crs.transform_batch(t, "wgs84", "albers5070")
+    back = crs.transform_batch(out.drop_columns(["lat", "lon"]),
+                               "albers5070", "wgs84")
+    assert np.allclose(back["lat"].to_numpy(), [40.0])
+    assert np.allclose(back["lon"].to_numpy(), [-100.0])
+
+
 def test_crs_transform_batch():
     t = pa.table({"lat": [40.0, 30.0], "lon": [-100.0, -80.0]})
     out = crs.transform_batch(t, "wgs84", "webmercator")
