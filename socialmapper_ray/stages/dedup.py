@@ -697,17 +697,11 @@ def distinct_pairs(cands, n_buckets: int | None = None):
             batch_format="pandas")
 
 
-def distinct_member_ids_ds(members, id_col: str = "doc_id",
-                           n_buckets: int | None = None):
-    """Distributed distinct of one int64 id column -> Dataset of the
-    globally-unique ids; NOTHING reaches the driver. Per-batch
-    ``np.unique`` pre-shrinks the exchange; the id-hash bucket groupby
-    makes per-bucket unique global. ``n_buckets=None`` auto-sizes to
-    the cluster."""
-    if n_buckets is None:
-        from .hash_join import auto_buckets
-
-        n_buckets = auto_buckets()
+def _unique_id_partial(members, id_col: str, n_buckets: int):
+    """Per-batch ``np.unique`` pre-shrink of an id column, bucketed by
+    id hash — the map side of the distinct exchange, separated so ONE
+    pass over the (possibly corpus-sized) member stream can feed both
+    the routing sketch and the distinct groupby."""
 
     def batch_unique(t) -> "pd.DataFrame":
         import pyarrow as pa
@@ -717,10 +711,28 @@ def distinct_member_ids_ds(members, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(u),
                          "__ib": pa.array(u % np.int64(n_buckets))})
 
-    return members.map_batches(batch_unique, batch_format="pyarrow") \
-        .groupby("__ib").map_groups(
-            lambda g: g.drop_duplicates(id_col)[[id_col]],
-            batch_format="pandas")
+    return members.map_batches(batch_unique, batch_format="pyarrow")
+
+
+def _distinct_from_partial(uniq_partial, id_col: str):
+    """Finish the distinct: bucket groupby makes per-bucket unique
+    global (every occurrence of an id lands in one bucket)."""
+    return uniq_partial.groupby("__ib").map_groups(
+        lambda g: g.drop_duplicates(id_col)[[id_col]],
+        batch_format="pandas")
+
+
+def distinct_member_ids_ds(members, id_col: str = "doc_id",
+                           n_buckets: int | None = None):
+    """Distributed distinct of one int64 id column -> Dataset of the
+    globally-unique ids; NOTHING reaches the driver.
+    ``n_buckets=None`` auto-sizes to the cluster."""
+    if n_buckets is None:
+        from .hash_join import auto_buckets
+
+        n_buckets = auto_buckets()
+    return _distinct_from_partial(
+        _unique_id_partial(members, id_col, n_buckets), id_col)
 
 
 def distinct_member_ids(members, id_col: str = "doc_id",
@@ -735,6 +747,31 @@ def distinct_member_ids(members, id_col: str = "doc_id",
     if len(uniq) == 0:
         return np.empty(0, dtype=np.int64)
     return np.sort(uniq[id_col].to_numpy().astype(np.int64))
+
+
+def _approx_distinct_ids(members, id_col: str = "doc_id",
+                         p: int = 12) -> float:
+    """HyperLogLog estimate of the distinct-id count in ONE streaming
+    map pass: per-batch 2^p-byte register blobs (sketch.hll_registers),
+    elementwise-max merged on the driver (4 KB x n_batches — never the
+    ids). Used only to pick the verify feature ROUTE, so ~1.6% error
+    is irrelevant."""
+    import pyarrow as pa
+
+    from .sketch import hll_estimate, hll_registers
+
+    def regs(t) -> "pa.Table":
+        r = hll_registers(t[id_col].to_numpy(zero_copy_only=False)
+                          .astype(np.int64), p)
+        return pa.table({"reg": pa.array([r.tobytes()], pa.binary())})
+
+    blobs = members.map_batches(regs, batch_format="pyarrow").to_pandas()
+    if len(blobs) == 0:
+        return 0.0
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in blobs["reg"]:
+        np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+    return hll_estimate(merged)
 
 
 def candidate_feature_semijoin(ds, ids_ds, feature: str = "shingles",
@@ -812,8 +849,10 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
        boilerplate-heavy crawl LSH candidates are O(corpus));
     2. the distinct member ids stay a *Dataset*
        (:func:`distinct_member_ids_ds`); ``id_route="auto"`` (default)
-       counts them and only when the count fits ``broadcast_id_cap``
-       collects + ``ray.put``-broadcasts the array (the measured-fast
+       estimates their count with a one-pass driver-merged HyperLogLog
+       (:func:`_approx_distinct_ids` — no exchange, 4 KB per batch) and
+       only when the estimate fits ``0.8 x broadcast_id_cap`` collects
+       + ``ray.put``-broadcasts the array (the measured-fast
        small-candidate path). Above the cap — the crawl-scale regime —
        NOTHING id-sized touches the driver;
     3. features of candidate docs are computed inside the doc stream —
@@ -855,25 +894,37 @@ def verify_pairs_distributed(cands, ds, id_col: str = "doc_id",
 
     # member-id distinct off the RAW candidate rows (same distinct set
     # as off the deduped pairs — dedup only drops repeats), so the
-    # feature scan starts without waiting on the pair-distinct exchange
+    # feature scan starts without waiting on the pair-distinct exchange.
+    # ONE pass over the candidate partials produces the pinned
+    # per-batch-unique id rows (narrow int64 — strictly smaller than
+    # the already-materialized cands); the routing sketch, the distinct
+    # exchange and (on the broadcast route) the driver collect all
+    # consume those pinned blocks — cands is never re-scanned.
+    from .hash_join import auto_buckets
+
     member_ds = cands.map_batches(member_rows, batch_format="pyarrow")
+    uniq_partial = _unique_id_partial(member_ds, id_col,
+                                      auto_buckets()).materialize()
+    if id_route == "auto":
+        # route by a HyperLogLog estimate over the pinned partials —
+        # no exchange, no extra scan (an exact pre-count cost a
+        # measured ~3 s of fixed all-to-all overhead on the viral
+        # stress); ~1.6% rel error at p=12, so an 0.8 safety factor on
+        # the cap keeps the driver array comfortably bounded either way
+        est = _approx_distinct_ids(uniq_partial, id_col)
+        id_route = ("broadcast" if est <= 0.8 * broadcast_id_cap
+                    else "semijoin")
+    ids_ds = _distinct_from_partial(uniq_partial, id_col)
     if id_route == "broadcast":
-        ids_ref = ray.put(distinct_member_ids(member_ds, id_col))
+        uniq = ids_ds.to_pandas()
+        ids = (np.sort(uniq[id_col].to_numpy().astype(np.int64))
+               if len(uniq) else np.empty(0, dtype=np.int64))
+        ids_ref = ray.put(ids)
         feats = candidate_feature_ds(ds, ids_ref, feature, id_col,
                                      text_col)
     else:
-        ids_ds = distinct_member_ids_ds(member_ds, id_col).materialize()
-        if id_route == "auto" and ids_ds.count() <= broadcast_id_cap:
-            uniq = ids_ds.to_pandas()
-            ids = (np.sort(uniq[id_col].to_numpy().astype(np.int64))
-                   if len(uniq) else np.empty(0, dtype=np.int64))
-            ids_ref = ray.put(ids)
-            feats = candidate_feature_ds(ds, ids_ref, feature, id_col,
-                                         text_col)
-        else:
-            feats = candidate_feature_semijoin(ds, ids_ds, feature,
-                                               id_col, text_col,
-                                               n_buckets)
+        feats = candidate_feature_semijoin(ds, ids_ds, feature,
+                                           id_col, text_col, n_buckets)
 
     # upfront pair-distinct: measured BETTER than folding the dedup
     # into the final groupby (143 s vs 65 s on the adversarial stress)
