@@ -156,20 +156,42 @@ class JpegImageDecoder:
         return out
 
 
-def decode_media(ds, decoder_cls=FakeDecoder, concurrency=2,
-                 batch_size: int = 256, payload_col: str = "payload"):
+def decode_media(ds, decoder_cls=FakeDecoder, concurrency=None,
+                 batch_size: int = 256, payload_col: str = "payload",
+                 num_cpus: float = 1.0):
     """Actor-pool decode stage over a binary payload column.
 
+    Decode is CPU-bound (per-image entropy coding / IDCT), so the
+    default pool auto-sizes to half the cluster's non-reserved CPUs via
+    :func:`util.clamp_concurrency` — the other half stays free for the
+    upstream read/encode tasks feeding the pool. Measured at sf0.1 /
+    32 cpus on the JPEG bench (interleaved in-process min-of-3): the
+    old fixed concurrency=2 read 13.1 s; the auto-sized FIXED pool
+    6.1 s. An autoscaling ``(1, max)`` pool was tried and rejected —
+    13.2 s best, 2x slower in every interleaved round: Ray's
+    backlog-driven scale-up never reaches full width within a
+    seconds-long job, so short decode jobs run underponied. Default
+    num_cpus=1.0: whole-core actors beat 0.5-cpu double-booking for
+    this kernel (6.1 s vs 7.1 s — SMT sharing, see BASELINE.md r1
+    calibration). A fixed ``concurrency`` hint still overrides (and is
+    itself clamped so an oversized hint cannot starve the feed: the
+    measured 7x stall mode in util.py).
+
     Small batch_size on purpose: batches of wide binary rows must fit
-    the actor heap (batch_size x payload x concurrency).
+    the actor heap (per actor: batch_size x payload bytes; aggregate:
+    x pool size — shrink batch_size for megapixel payloads).
     """
+    from ..util import clamp_concurrency
+
+    pool = clamp_concurrency(concurrency if concurrency is not None
+                             else 1 << 16, num_cpus_per_actor=num_cpus)
     return ds.map_batches(
         decoder_cls,
         fn_constructor_kwargs=dict(payload_col=payload_col),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=0.5,
+        concurrency=pool,
+        num_cpus=num_cpus,
     )
 
 
