@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": tp.semantic_dedup_q,
         "media_png_decode": tp.media_png_decode_q,
         "media_jpeg_decode": tp.media_jpeg_decode_q,
+        "media_wav_decode": tp.media_wav_decode_q,
+        "media_mjpeg_frames": tp.media_mjpeg_frames_q,
         "events_p99_filter": rel.events_p99_filter,
         "doc_rarity": tp.doc_rarity_q,
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,
@@ -240,4 +242,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_bloom": tp.DEDUP_INCREMENTAL_SQL,
         "funnel_counts": rel.FUNNEL_SQL,
         "zone_area_stats": sp.zone_area_stats_sql(d),
+        "media_wav_decode": tp.MEDIA_WAV_SQL,
+        "media_mjpeg_frames": tp.MEDIA_MJPEG_SQL,
     }

@@ -234,6 +234,10 @@ def run_bench() -> dict:
           lambda: tp.media_png_decode_q(SF_DIR).count())
     timed("media_jpeg_decode",
           lambda: tp.media_jpeg_decode_q(SF_DIR).count())
+    timed("media_wav_decode",
+          lambda: tp.media_wav_decode_q(SF_DIR).count())
+    timed("media_mjpeg_frames",
+          lambda: tp.media_mjpeg_frames_q(SF_DIR).count())
 
     headline = timings["flagship"] + timings["pip_join"]
     result = {

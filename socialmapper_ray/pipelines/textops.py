@@ -514,6 +514,137 @@ def media_jpeg_decode_q(sf_dir: str, hw: int = 24):
         batch_format="pandas")
 
 
+def media_wav_decode_q(sf_dir: str):
+    """REAL audio decode through the actor-pool media stage — the WAV
+    sibling of :func:`media_png_decode_q`. Payloads are genuine
+    RIFF/WAVE PCM files (one deterministic square wave per doc_id,
+    written in-stream by the from-scratch encoder) and the stage
+    decodes them with the from-scratch parser (stages/audio.py) —
+    struct + numpy end to end, no codec library.
+
+    FULLY SQL-ORACLED, exact-integer: a square wave's peak, sum of
+    squares and zero-crossing count are closed-form in the synthesis
+    parameters (amplitude a, samples-per-half-period p, half-periods
+    half, channels ch): peak = a, sumsq = ch * half * p * a^2,
+    zcr = half - 1 — so the DuckDB oracle recomputes every output
+    column with no float tolerance and a single mis-decoded sample
+    flips the hash. Codec roundtrips (8/16/24/32-bit PCM, float32/64,
+    extensible fmt, refusals) are pinned in tests/test_audio.py.
+    """
+    from ..stages import multimodal
+    from ..stages.audio import WavAudioDecoder, wav_encode
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(df: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for i in df["doc_id"]:
+            i = int(i)
+            p = 4 + i % 29
+            half = 40 + 2 * (i % 13)
+            a = 1000 + 37 * (i % 700)
+            ch = 1 + i % 2
+            c0 = np.tile(np.repeat(np.array([a, -a], dtype=np.int64), p),
+                         half // 2)
+            blobs.append(wav_encode(np.stack([c0] * ch, axis=1), 8000,
+                                    bits=16))
+        return pd.DataFrame({"media_id": df["doc_id"].astype(np.int64),
+                             "payload": blobs})
+
+    media = ds.map_batches(make_payload, batch_format="pandas")
+    out = multimodal.decode_media(media, decoder_cls=WavAudioDecoder)
+    cols = ["media_id", "sample_rate", "channels", "bits", "n_samples",
+            "duration_us", "peak_q", "sumsq_q", "zcr_count"]
+    return out.map_batches(
+        lambda df: df[cols].astype(np.int64), batch_format="pandas")
+
+
+MEDIA_WAV_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 29 AS p,
+         40 + 2 * (doc_id % 13) AS half,
+         1000 + 37 * (doc_id % 700) AS a,
+         1 + doc_id % 2 AS ch
+  FROM documents)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(half * p AS BIGINT) AS n_samples,
+       CAST(half * p * 125 AS BIGINT) AS duration_us,
+       CAST(a AS BIGINT) AS peak_q,
+       CAST(ch * half * p * a * a AS BIGINT) AS sumsq_q,
+       CAST(half - 1 AS BIGINT) AS zcr_count
+FROM b
+"""
+
+
+def media_mjpeg_frames_q(sf_dir: str):
+    """REAL video decode through the actor-pool media stage: payloads
+    are genuine single-stream MJPEG AVI containers (one per doc_id,
+    muxed in-stream: flat-gray frames -> from-scratch T.81 JPEG at
+    quality 100 -> from-scratch RIFF 'AVI ' writer) and the stage
+    parses the container and JPEG-decodes every 2nd frame
+    (stages/video.py) — struct + numpy end to end, no codec library.
+
+    FULLY SQL-ORACLED, exact-integer: flat-gray frames at quality 100
+    decode bit-exactly (all-ones quant tables, DC-only blocks — pinned
+    for all 256 gray values in tests/test_jpeg.py), so the oracle
+    recomputes container metadata AND the decoded-luma sum over the
+    sampled frames in closed form; one wrong pixel flips the hash.
+    """
+    from ..stages import multimodal
+    from ..stages.video import MjpegVideoDecoder, avi_encode_mjpeg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(df: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for i in df["doc_id"]:
+            i = int(i)
+            nf = 3 + i % 6
+            rate = (10, 20, 25)[i % 3]
+            w, h = 16 * (1 + i % 3), 16 * (1 + i % 2)
+            frames = [np.full((h, w), (37 * i + 11 * j) % 256,
+                              dtype=np.uint8) for j in range(nf)]
+            blobs.append(avi_encode_mjpeg(frames, rate=rate, quality=100))
+        return pd.DataFrame({"media_id": df["doc_id"].astype(np.int64),
+                             "payload": blobs})
+
+    media = ds.map_batches(make_payload, batch_format="pandas")
+    out = multimodal.decode_media(media, decoder_cls=MjpegVideoDecoder,
+                                  batch_size=64)
+    cols = ["media_id", "n_frames", "fps_milli", "width", "height",
+            "duration_us", "n_sampled", "dec_w", "dec_h", "sum_y_q"]
+    return out.map_batches(
+        lambda df: df[cols].astype(np.int64), batch_format="pandas")
+
+
+MEDIA_MJPEG_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, doc_id,
+         3 + doc_id % 6 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 25 END AS rate,
+         16 * (1 + doc_id % 3) AS w,
+         16 * (1 + doc_id % 2) AS h
+  FROM documents)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(rate * 1000 AS BIGINT) AS fps_milli,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf * (1000000 // rate) AS BIGINT) AS duration_us,
+       CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(w AS BIGINT) AS dec_w,
+       CAST(h AS BIGINT) AS dec_h,
+       CAST(list_sum(list_transform(range(0, nf, 2),
+                                    j -> (37 * doc_id + 11 * j) % 256))
+            AS BIGINT) AS sum_y_q
+FROM b
+"""
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

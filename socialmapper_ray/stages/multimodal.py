@@ -1,14 +1,19 @@
 """Multimodal columns: opaque binary payloads + actor-pool decode stages.
 
 Image/audio/video arrive as ``binary`` columns with typed metadata.
-No decode libraries exist in this container (no PIL/ffmpeg/librosa), so
-the decode kernel is STUBBED: ``FakeDecoder`` produces a deterministic
-feature vector from the payload bytes, and ``RealDecoder`` raises
-``NotImplementedError`` with the integration point documented. The
-Ray-side plumbing — schema contract, small batch sizes for wide binary
-rows, actor-pool signature, fixed-width ``list<float>`` output layout —
-is real and tested (tests/test_multimodal.py), so swapping in a real
-decoder is a one-class change.
+No decode libraries exist in this container (no PIL/ffmpeg/librosa),
+so every decoder here is from scratch: REAL paths cover PNG
+(:class:`PngImageDecoder`, RFC 2083), baseline JPEG
+(:class:`JpegImageDecoder`, ITU-T T.81), WAV/PCM audio
+(``stages/audio.WavAudioDecoder``, RIFF/WAVE) and MJPEG-AVI video
+(``stages/video.MjpegVideoDecoder``, RIFF 'AVI ' + per-frame JPEG).
+Formats that genuinely need external codecs (MP3, AAC, H.264, VP9)
+raise loudly via ``RealDecoder`` with the integration point
+documented. ``FakeDecoder`` remains as the plumbing exerciser: schema
+contract, small batch sizes for wide binary rows, actor-pool
+signature, fixed-width ``list<float>`` output layout — all tested
+(tests/test_multimodal.py), so swapping in a codec-library decoder is
+a one-class change.
 
 Scale notes: binary payloads dominate block size; callers should read
 media tables with a reduced ``target_max_block_size`` / small
@@ -57,21 +62,25 @@ class FakeDecoder:
 
 class RealDecoder:
     """Integration point for codec-library decoders (ffmpeg / librosa —
-    audio/video formats need external codecs this container lacks).
+    compressed audio/video formats like MP3/AAC/H.264 need external
+    codecs this container lacks).
 
     Importing those libs here must raise loudly rather than silently
-    degrade. For PNG images no external library is needed:
-    :class:`PngImageDecoder` below is a REAL decode path.
+    degrade. Formats expressible without external codecs decode for
+    REAL: PNG (:class:`PngImageDecoder`), baseline JPEG
+    (:class:`JpegImageDecoder`), WAV/PCM audio
+    (``stages/audio.WavAudioDecoder``) and MJPEG-AVI video
+    (``stages/video.MjpegVideoDecoder``).
     """
 
     def __init__(self, *a, **kw):
         raise NotImplementedError(
-            "no audio/video codec libraries in this container; subclass "
-            "with e.g. ffmpeg in __init__-loaded state and swap the class "
-            "name in decode_media(). The stage contract (batch in, payload "
-            "dropped, fixed-width 'features' list<float> out) is defined "
-            "by FakeDecoder. PNG images decode for REAL via "
-            "PngImageDecoder.")
+            "no compressed-codec libraries (MP3/AAC/H.264/VP9) in this "
+            "container; subclass with e.g. ffmpeg in __init__-loaded "
+            "state and swap the class name in decode_media(). The stage "
+            "contract (batch in, payload dropped, slim typed columns "
+            "out) is defined by FakeDecoder; real from-scratch paths "
+            "exist for PNG, baseline JPEG, WAV/PCM and MJPEG-AVI.")
 
 
 class PngImageDecoder:
