@@ -11,6 +11,10 @@ here; the engine implements the projections it actually uses:
   form) for metric distance work — spherical rather than ellipsoidal
   (documented delta: <0.5% at CONUS latitudes, fine for comparative
   distances; the oracle-checked distance ops use haversine directly).
+- Ellipsoidal Albers on GRS80 (EPSG:5070 proper, Snyder §14).
+- Ellipsoidal transverse Mercator / UTM on WGS84 (EPSG:326xx/327xx,
+  Snyder §8 series forms — the reference's per-network projected CRS,
+  isochrone/cache.py:569).
 
 All functions are numpy-vectorized, stateless, and safe to call inside
 ``map_batches`` (per-actor "transformer" construction is unnecessary —
@@ -143,14 +147,125 @@ def from_albers_5070(x, y, iters: int = 8):
     return np.degrees(lat), np.degrees(lon)
 
 
+# ---------------------------------------------------------------------------
+# Ellipsoidal transverse Mercator / UTM (WGS84, EPSG:326xx / 327xx)
+# ---------------------------------------------------------------------------
+# Snyder, Map Projections — A Working Manual (USGS PP 1395), §8:
+# forward eqs. 8-9..8-17 + meridional arc 3-21; inverse via the
+# footpoint latitude series 3-26 and eqs. 8-24/8-25. The reference
+# reaches these CRSs through pyproj ("utm" per-network projected CRS,
+# isochrone/cache.py:569); none exists here, so the series forms are
+# implemented directly. Good to <1mm against the defining integrals
+# inside a zone's ±3° width (pinned by an independent numerical
+# meridian-arc integration in tests/test_geom.py).
+
+_W_A = 6378137.0                       # WGS84 semi-major
+_W_F = 1.0 / 298.257223563
+_W_E2 = 2.0 * _W_F - _W_F ** 2
+_W_EP2 = _W_E2 / (1.0 - _W_E2)         # e'^2
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_S = 10000000.0
+
+# meridional arc coefficients (Snyder 3-21)
+_M0C = 1.0 - _W_E2 / 4.0 - 3.0 * _W_E2 ** 2 / 64.0 - 5.0 * _W_E2 ** 3 / 256.0
+_M2C = 3.0 * _W_E2 / 8.0 + 3.0 * _W_E2 ** 2 / 32.0 \
+    + 45.0 * _W_E2 ** 3 / 1024.0
+_M4C = 15.0 * _W_E2 ** 2 / 256.0 + 45.0 * _W_E2 ** 3 / 1024.0
+_M6C = 35.0 * _W_E2 ** 3 / 3072.0
+_E1 = (1.0 - np.sqrt(1.0 - _W_E2)) / (1.0 + np.sqrt(1.0 - _W_E2))
+
+
+def _meridian_arc(lat_rad):
+    return _W_A * (_M0C * lat_rad - _M2C * np.sin(2.0 * lat_rad)
+                   + _M4C * np.sin(4.0 * lat_rad)
+                   - _M6C * np.sin(6.0 * lat_rad))
+
+
+def utm_zone(lon) -> np.ndarray:
+    """Longitude degrees -> UTM zone number 1..60."""
+    lon = np.asarray(lon, dtype=np.float64)
+    return (np.clip(np.floor((lon + 180.0) / 6.0), 0, 59) + 1) \
+        .astype(np.int64)
+
+
+def to_utm(lat, lon, zone: int, northern: bool = True):
+    """EPSG:4326 degrees -> UTM meters (x, y) in the given zone
+    (EPSG:326{zone} / 327{zone}). Vectorized Snyder 8-9..8-13."""
+    la = np.radians(np.asarray(lat, dtype=np.float64))
+    lo = np.radians(np.asarray(lon, dtype=np.float64))
+    lon0 = np.radians(-183.0 + 6.0 * int(zone))
+    sin_la, cos_la = np.sin(la), np.cos(la)
+    nu = _W_A / np.sqrt(1.0 - _W_E2 * sin_la ** 2)           # N, eq. 4-20
+    t = (sin_la / cos_la) ** 2                               # T
+    c = _W_EP2 * cos_la ** 2                                 # C
+    a_ = (lo - lon0) * cos_la                                # A
+    m = _meridian_arc(la)
+    x = _UTM_K0 * nu * (
+        a_ + (1.0 - t + c) * a_ ** 3 / 6.0
+        + (5.0 - 18.0 * t + t ** 2 + 72.0 * c - 58.0 * _W_EP2)
+        * a_ ** 5 / 120.0) + _UTM_FE
+    y = _UTM_K0 * (m + nu * (sin_la / cos_la) * (
+        a_ ** 2 / 2.0
+        + (5.0 - t + 9.0 * c + 4.0 * c ** 2) * a_ ** 4 / 24.0
+        + (61.0 - 58.0 * t + t ** 2 + 600.0 * c - 330.0 * _W_EP2)
+        * a_ ** 6 / 720.0))
+    if not northern:
+        y = y + _UTM_FN_S
+    return x, y
+
+
+def from_utm(x, y, zone: int, northern: bool = True):
+    """UTM meters -> EPSG:4326 degrees (lat, lon). Vectorized Snyder
+    footpoint series 3-26 + eqs. 8-24/8-25."""
+    x = np.asarray(x, dtype=np.float64) - _UTM_FE
+    y = np.asarray(y, dtype=np.float64)
+    if not northern:
+        y = y - _UTM_FN_S
+    lon0 = np.radians(-183.0 + 6.0 * int(zone))
+    mu = (y / _UTM_K0) / (_W_A * _M0C)
+    fp = mu + (3.0 * _E1 / 2.0 - 27.0 * _E1 ** 3 / 32.0) * np.sin(2.0 * mu) \
+        + (21.0 * _E1 ** 2 / 16.0 - 55.0 * _E1 ** 4 / 32.0) \
+        * np.sin(4.0 * mu) \
+        + (151.0 * _E1 ** 3 / 96.0) * np.sin(6.0 * mu) \
+        + (1097.0 * _E1 ** 4 / 512.0) * np.sin(8.0 * mu)
+    sin_fp, cos_fp = np.sin(fp), np.cos(fp)
+    c1 = _W_EP2 * cos_fp ** 2
+    t1 = (sin_fp / cos_fp) ** 2
+    one = 1.0 - _W_E2 * sin_fp ** 2
+    n1 = _W_A / np.sqrt(one)
+    r1 = _W_A * (1.0 - _W_E2) / one ** 1.5
+    d = x / (n1 * _UTM_K0)
+    lat = fp - (n1 * (sin_fp / cos_fp) / r1) * (
+        d ** 2 / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 ** 2 - 9.0 * _W_EP2)
+        * d ** 4 / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 ** 2
+           - 252.0 * _W_EP2 - 3.0 * c1 ** 2) * d ** 6 / 720.0)
+    lon = lon0 + (d - (1.0 + 2.0 * t1 + c1) * d ** 3 / 6.0
+                  + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 ** 2
+                     + 8.0 * _W_EP2 + 24.0 * t1 ** 2)
+                  * d ** 5 / 120.0) / cos_fp
+    return np.degrees(lat), np.degrees(lon)
+
+
 def transform_batch(batch, src: str, dst: str, lat_col="lat", lon_col="lon",
                     x_col="x", y_col="y"):
     """map_batches-ready transform between named CRSs.
 
-    src/dst in {"wgs84", "webmercator", "albers"}; wgs84 input uses
+    src/dst in {"wgs84", "webmercator", "albers", "albers5070",
+    "utm{zone}n" / "utm{zone}s" (e.g. "utm18n")}; wgs84 input uses
     lat_col/lon_col, projected input uses x_col/y_col.
     """
     import pyarrow as pa
+
+    def _utm_args(name: str):
+        if not (name.startswith("utm") and name[-1] in "ns"):
+            return None
+        zone = int(name[3:-1])
+        if not 1 <= zone <= 60:
+            raise ValueError(f"UTM zone out of range in {name!r}")
+        return zone, name[-1] == "n"
 
     if src == "wgs84":
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
@@ -161,6 +276,9 @@ def transform_batch(batch, src: str, dst: str, lat_col="lat", lon_col="lon",
             x, y = to_albers(lat, lon)
         elif dst == "albers5070":
             x, y = to_albers_5070(lat, lon)
+        elif _utm_args(dst):
+            zone, north = _utm_args(dst)
+            x, y = to_utm(lat, lon, zone, northern=north)
         else:
             raise ValueError(f"unsupported dst {dst}")
         batch = batch.append_column(x_col, pa.array(x))
@@ -173,6 +291,9 @@ def transform_batch(batch, src: str, dst: str, lat_col="lat", lon_col="lon",
         lat, lon = from_albers(x, y)
     elif src == "albers5070":
         lat, lon = from_albers_5070(x, y)
+    elif _utm_args(src):
+        zone, north = _utm_args(src)
+        lat, lon = from_utm(x, y, zone, northern=north)
     else:
         raise ValueError(f"unsupported src {src}")
     batch = batch.append_column(lat_col, pa.array(lat))

@@ -645,6 +645,66 @@ FROM b
 """
 
 
+def pii_scrub_q(sf_dir: str):
+    """PII detection + redaction over documents (functions/pii.py —
+    the RefinedWeb/ROOTS-style email/IP/phone scrub). Deterministic
+    PII is injected into each doc's text IDENTICALLY on both sides
+    (the url_dedup variant-injection pattern), then the Ray pipeline
+    scrubs with Python re and the oracle with DuckDB RE2 using the
+    SAME pattern strings — the value-hash compare on the redacted
+    string pins engine-semantics parity, counts and replacement order
+    end to end."""
+    from ..functions import pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": i,
+            "text": (df["text"].astype(str)
+                     + " contact u" + i.astype(str)
+                     + "@mail" + (i % 7).astype(str)
+                     + ".com or +1 555 01" + (i % 10).astype(str)
+                     + " 99 from 10." + (i % 256).astype(str)
+                     + ".0." + (i % 100).astype(str))})
+
+    out = pii.pii_scrub(ds.map_batches(inject, batch_format="pandas"))
+    cols = ["doc_id", "n_email", "n_ipv4", "n_phone", "redacted"]
+    return out.map_batches(lambda df: df[cols], batch_format="pandas")
+
+
+PII_SCRUB_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@mail' || (doc_id % 7)
+              || '.com or +1 555 01' || (doc_id % 10)
+              || ' 99 from 10.' || (doc_id % 256) || '.0.'
+              || (doc_id % 100) AS text
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text, '{IPV4}')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PHONE}')) AS BIGINT)
+         AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL}', '<EMAIL>', 'g'),
+           '{IPV4}', '<IP>', 'g'),
+         '{PHONE}', '<PHONE>', 'g') AS redacted
+FROM t
+"""
+
+
+def _pii_sql() -> str:
+    from ..functions import pii
+
+    return PII_SCRUB_SQL.replace("{EMAIL}", pii.EMAIL_RE) \
+        .replace("{IPV4}", pii.IPV4_RE).replace("{PHONE}", pii.PHONE_RE)
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -87,6 +87,68 @@ def test_albers_5070_ellipsoidal_properties():
     assert np.allclose(back["lon"].to_numpy(), [-100.0])
 
 
+def test_utm_ellipsoidal_properties():
+    """Ellipsoidal transverse Mercator / UTM (WGS84), verified without
+    an external library: (1) inverse(forward) to 1e-10 deg across the
+    zone, both hemispheres; (2) anchors exact — central meridian maps
+    to x = 500000 and the equator to y = 0 (N) / 1e7 (S); (3) the
+    central-meridian northing equals k0 x the meridian arc computed by
+    INDEPENDENT numerical integration of the meridian curvature radius
+    M(phi) = a(1-e2)/(1-e2 sin^2)^{3/2}; (4) CONFORMALITY — the numeric
+    Jacobian in (lon, isometric-lat) coordinates is a scaled rotation
+    (Cauchy-Riemann to 1e-6 relative), which no wrong series
+    coefficient survives."""
+    rng = np.random.default_rng(8)
+    lat = rng.uniform(-80, 84, 500)
+    lon = rng.uniform(-78, -72, 500)                 # zone 18 width
+    for northern in (True, False):
+        x, y = crs.to_utm(lat, lon, 18, northern=northern)
+        la2, lo2 = crs.from_utm(x, y, 18, northern=northern)
+        assert np.allclose(la2, lat, atol=1e-10)
+        assert np.allclose(lo2, lon, atol=1e-10)
+    x0, y0 = crs.to_utm(np.array([0.0, 0.0]), np.array([-75.0, -75.0]),
+                        18, northern=True)
+    assert abs(x0[0] - 500000.0) < 1e-6 and abs(y0[0]) < 1e-6
+    _, ys = crs.to_utm(0.0, -75.0, 18, northern=False)
+    assert abs(ys - 1e7) < 1e-6
+
+    a, e2 = 6378137.0, crs._W_E2
+    phi = np.linspace(0.0, np.radians(45.0), 400001)
+    m_num = np.trapz(a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5,
+                     phi)
+    _, y45 = crs.to_utm(45.0, -75.0, 18)
+    assert abs(y45 - 0.9996 * m_num) < 1e-3          # <1 mm vs integral
+
+    h = 1e-6
+    for la0, lo0 in ((40.0, -73.5), (-35.0, -77.0), (70.0, -72.5),
+                     (5.0, -78.0)):
+        x3, y3 = crs.to_utm(np.array([la0, la0 + h, la0]),
+                            np.array([lo0, lo0, lo0 + h]), 18,
+                            northern=la0 >= 0)
+        s = np.sin(np.radians(la0))
+        dchi_dphi = (1 - e2) / ((1 - e2 * s * s)
+                                * np.cos(np.radians(la0)))
+        # derivatives wrt isometric latitude chi and longitude
+        dx_dchi = (x3[1] - x3[0]) / (np.radians(h) * dchi_dphi)
+        dy_dchi = (y3[1] - y3[0]) / (np.radians(h) * dchi_dphi)
+        dx_dlam = (x3[2] - x3[0]) / np.radians(h)
+        dy_dlam = (y3[2] - y3[0]) / np.radians(h)
+        scale = np.hypot(dx_dlam, dy_dlam)
+        assert abs(dx_dlam - dy_dchi) / scale < 1e-6   # Cauchy-Riemann
+        assert abs(dy_dlam + dx_dchi) / scale < 1e-6
+
+    assert crs.utm_zone([-75.0, -180.0, 179.99, 0.0]).tolist() \
+        == [18, 1, 60, 31]
+
+    t = pa.table({"lat": [40.0, -33.9], "lon": [-74.0, -70.6]})
+    out = crs.transform_batch(t, "wgs84", "utm18n")
+    back = crs.transform_batch(out.drop_columns(["lat", "lon"]),
+                               "utm18n", "wgs84")
+    assert np.allclose(back["lat"].to_numpy(), [40.0, -33.9])
+    with pytest.raises(ValueError, match="zone"):
+        crs.transform_batch(t, "wgs84", "utm99n")
+
+
 def test_crs_transform_batch():
     t = pa.table({"lat": [40.0, 30.0], "lon": [-100.0, -80.0]})
     out = crs.transform_batch(t, "wgs84", "webmercator")

@@ -124,3 +124,72 @@ def test_arrow_extract_kernels_match_pandas(world):
     v_p = gp.validate_coords(g_p["lat"], g_p["lon"])
     v_a = gp.validate_coords_arrow(g_a["lat"], g_a["lon"]).to_pandas()
     assert v_p.tolist() == v_a.tolist()
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (functions/pii.py)
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redaction():
+    from socialmapper_ray.functions import pii
+
+    df = pd.DataFrame({"text": [
+        "write to alice.b+spam@sub.example.co.uk or bob@x.io today",
+        "server at 10.0.255.3 and 192.168.1.1, call +1 555 010 99",
+        "no pii here at all",
+        "",
+    ]})
+    out = pii.scrub_batch(df)
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0, 0]
+    assert out["redacted"].tolist() == [
+        "write to <EMAIL> or <EMAIL> today",
+        "server at <IP> and <IP>, call <PHONE>",
+        "no pii here at all",
+        "",
+    ]
+
+
+def test_pii_scrub_matches_duckdb_re2_on_adversarial_text():
+    """The gate relies on Python re and DuckDB RE2 agreeing for these
+    patterns — pin that on text designed to probe the edges (adjacent
+    matches, dots around IPs, versions that look like IPs, emails with
+    plus/percent, phone-like fragments)."""
+    from socialmapper_ray.functions import pii
+
+    texts = [
+        "v1.2.3.4 release vs 1.2.3.4 the ip",
+        "a@b.cd.e@f.gh",
+        "x+1 555 010 99y and +12 123-456-7890 end",
+        "dots...10.1.1.1...more",
+        "u%a_b-c.d@host-name.travel!",
+        "+1 555 010 99+1 555 010 98",
+        "999.999.999.999 and 0.0.0.0",
+    ]
+    got = pii.scrub_batch(pd.DataFrame({"text": texts}))
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        for pat, tok, col in ((pii.EMAIL_RE, "<EMAIL>", "n_email"),
+                              (pii.IPV4_RE, "<IP>", "n_ipv4"),
+                              (pii.PHONE_RE, "<PHONE>", "n_phone")):
+            n, = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, pat]).fetchone()
+            assert n == got[col].iloc[i], (t, col)
+        want, = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "?, ?, '<EMAIL>', 'g'), ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+            [t, pii.EMAIL_RE, pii.IPV4_RE, pii.PHONE_RE]).fetchone()
+        assert want == got["redacted"].iloc[i], t
+
+
+def test_pii_scrub_dataset_stage(ray_session):
+    import ray.data as rd
+
+    from socialmapper_ray.functions import pii
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["mail me: z@q.org", "nothing"]}))
+    out = pii.pii_scrub(ds).to_pandas().sort_values("doc_id")
+    assert out["redacted"].tolist() == ["mail me: <EMAIL>", "nothing"]
+    assert out["n_email"].tolist() == [1, 0]
