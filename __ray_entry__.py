@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_decode": tp.media_wav_decode_q,
         "media_mjpeg_frames": tp.media_mjpeg_frames_q,
         "pii_scrub": tp.pii_scrub_q,
+        "lm_perplexity": tp.lm_perplexity_q,
         "events_p99_filter": rel.events_p99_filter,
         "doc_rarity": tp.doc_rarity_q,
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,
@@ -246,4 +247,5 @@ def oracle_sql() -> dict[str, str]:
         "media_wav_decode": tp.MEDIA_WAV_SQL,
         "media_mjpeg_frames": tp.MEDIA_MJPEG_SQL,
         "pii_scrub": tp._pii_sql(),
+        "lm_perplexity": tp.LM_PERPLEXITY_SQL,
     }

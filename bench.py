@@ -238,6 +238,8 @@ def run_bench() -> dict:
           lambda: tp.media_wav_decode_q(SF_DIR).count())
     timed("media_mjpeg_frames",
           lambda: tp.media_mjpeg_frames_q(SF_DIR).count())
+    timed("lm_perplexity",
+          lambda: tp.lm_perplexity_q(SF_DIR).count())
 
     headline = timings["flagship"] + timings["pip_join"]
     result = {

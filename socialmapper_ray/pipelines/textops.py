@@ -705,6 +705,60 @@ def _pii_sql() -> str:
         .replace("{IPV4}", pii.IPV4_RE).replace("{PHONE}", pii.PHONE_RE)
 
 
+def lm_perplexity_q(sf_dir: str):
+    """CCNet-style LM quality scoring (stages/lm.py): fit an add-one
+    smoothed bigram LM on the corpus (one pre-aggregated keyed
+    exchange), broadcast it, score every doc's mean negative
+    log-likelihood in one streaming pass. FULL SQL oracle: the DuckDB
+    side refits the identical model (same whitespace tokenization as
+    the top_tokens oracle, lag() for the bigram context) and emits the
+    same floor(nll*1e4+0.5) quantization — fit and score are pinned
+    end to end."""
+    from ..stages import lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = lm.fit_bigram_model(ds)
+    out = lm.score_perplexity(ds, model)
+    cols = ["doc_id", "n_tokens", "nll_c"]
+    return out.map_batches(lambda df: df[cols].astype(np.int64),
+                           batch_format="pandas")
+
+
+LM_PERPLEXITY_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM d),
+tok2 AS (
+  SELECT doc_id, pos, w,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok),
+uni AS (SELECT w, count(*) AS c FROM tok2 GROUP BY w),
+tot AS (SELECT (SELECT count(*) FROM tok2) AS n,
+               (SELECT count(*) FROM uni) AS v),
+big AS (SELECT prev, w, count(*) AS c FROM tok2
+        WHERE prev IS NOT NULL GROUP BY prev, w),
+lp AS (
+  SELECT t.doc_id,
+         CASE WHEN t.prev IS NULL
+           THEN ln(u.c + 1) - ln(tot.n + tot.v)
+           ELSE ln(coalesce(b.c, 0) + 1) - ln(up.c + tot.v)
+         END AS lp
+  FROM tok2 t
+  CROSS JOIN tot
+  LEFT JOIN uni u ON u.w = t.w
+  LEFT JOIN big b ON b.prev = t.prev AND b.w = t.w
+  LEFT JOIN uni up ON up.w = t.prev)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(floor(-sum(lp) / count(*) * 10000 + 0.5) AS BIGINT) AS nll_c
+FROM lp GROUP BY doc_id
+"""
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
