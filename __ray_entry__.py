@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_mjpeg_frames": tp.media_mjpeg_frames_q,
         "pii_scrub": tp.pii_scrub_q,
         "lm_perplexity": tp.lm_perplexity_q,
+        "url_filter": tp.url_filter_q,
         "events_p99_filter": rel.events_p99_filter,
         "doc_rarity": tp.doc_rarity_q,
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,
@@ -248,4 +249,5 @@ def oracle_sql() -> dict[str, str]:
         "media_mjpeg_frames": tp.MEDIA_MJPEG_SQL,
         "pii_scrub": tp._pii_sql(),
         "lm_perplexity": tp.LM_PERPLEXITY_SQL,
+        "url_filter": tp.url_filter_sql(d),
     }

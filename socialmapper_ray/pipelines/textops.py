@@ -705,6 +705,71 @@ def _pii_sql() -> str:
         .replace("{IPV4}", pii.IPV4_RE).replace("{PHONE}", pii.PHONE_RE)
 
 
+def url_filter_q(sf_dir: str):
+    """RefinedWeb-style URL filtering (functions/urlfilter.py): domain
+    blocklist with subdomain matching + banned-word rules, fixed
+    verdict precedence. The synth world's URLs are clean, so the query
+    injects deterministic hits IDENTICALLY on both sides (the url_dedup
+    variant-injection pattern: every 6th URL gains a word-spiked copy,
+    every 9th an 'ads.'-subdomain copy) — the oracle then checks real
+    filter behavior, and the per-URL verdict strings are value-hashed.
+    """
+    import pyarrow as pa
+
+    from ..functions import urlfilter
+    from ..sources import synth
+    from ..util import read_parquet_clean
+
+    synth.ensure_synth(sf_dir)
+    pages = read_parquet_clean(
+        synth.table_path(sf_dir, "pages"), columns=["url"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        num = df["url"].str[-10:].astype(np.int64)
+        urls = [df["url"],
+                df["url"][num % 6 == 0] + "/free-casino-bonus",
+                df["url"][num % 9 == 0].str.replace(
+                    "https://", "https://ads.", n=1)]
+        return pa.table({"url": pa.array(pd.concat(urls,
+                                                   ignore_index=True),
+                                         pa.string())})
+
+    ds = urlfilter.url_filter(
+        pages.map_batches(inject, batch_format="pyarrow"),
+        blocklist=["src1.example.org", "src3.example.org"],
+        banned_words=["casino", "bonus"])
+    return ds.map_batches(lambda df: df[["url", "verdict"]],
+                          batch_format="pandas")
+
+
+def url_filter_sql(d: str) -> str:
+    return f"""
+    WITH p AS (SELECT url FROM read_parquet('{d}/pages.parquet/*.parquet')),
+    v AS (
+      SELECT url FROM p
+      UNION ALL
+      SELECT url || '/free-casino-bonus' FROM p
+      WHERE CAST(right(url, 10) AS BIGINT) % 6 = 0
+      UNION ALL
+      SELECT replace(url, 'https://', 'https://ads.') FROM p
+      WHERE CAST(right(url, 10) AS BIGINT) % 9 = 0),
+    h AS (SELECT url,
+                 lower(coalesce(regexp_extract(url,
+                     '^[a-zA-Z]+://([^/]+)', 1), '')) AS host
+          FROM v)
+    SELECT url,
+           CASE WHEN host IN ('src1.example.org', 'src3.example.org')
+                  OR host LIKE '%.src1.example.org'
+                  OR host LIKE '%.src3.example.org'
+                THEN 'blocked_domain'
+                WHEN regexp_matches(lower(url), 'casino|bonus')
+                THEN 'blocked_word'
+                ELSE 'kept' END AS verdict
+    FROM h
+    """
+
+
 def lm_perplexity_q(sf_dir: str):
     """CCNet-style LM quality scoring (stages/lm.py): fit an add-one
     smoothed bigram LM on the corpus (one pre-aggregated keyed

@@ -193,3 +193,35 @@ def test_pii_scrub_dataset_stage(ray_session):
     out = pii.pii_scrub(ds).to_pandas().sort_values("doc_id")
     assert out["redacted"].tolist() == ["mail me: <EMAIL>", "nothing"]
     assert out["n_email"].tolist() == [1, 0]
+
+
+def test_url_filter_classify():
+    from socialmapper_ray.functions import urlfilter
+
+    urls = pd.Series([
+        "https://src1.example.org/doc/1",        # exact blocklist hit
+        "https://ads.src3.example.org/doc/2",    # subdomain hit
+        "https://notsrc1.example.org/doc/3",     # NOT a subdomain (no dot)
+        "https://ok.org/free-CASINO-night",      # word, case-insensitive
+        "https://src1.example.org/casino",       # domain wins precedence
+        "https://ok.org/doc/4",                  # kept
+        "not-a-url",                             # no host -> word/kept path
+    ])
+    v = urlfilter.classify_urls(urls, ["src1.example.org",
+                                       "src3.example.org"],
+                                ["casino", "bonus"])
+    assert v.tolist() == ["blocked_domain", "blocked_domain", "kept",
+                          "blocked_word", "blocked_domain", "kept",
+                          "kept"]
+
+
+def test_url_filter_stage_keep_only(ray_session):
+    import ray.data as rd
+
+    from socialmapper_ray.functions import urlfilter
+
+    ds = rd.from_pandas(pd.DataFrame({"url": [
+        "https://bad.org/x", "https://good.org/y"]}))
+    out = urlfilter.url_filter(ds, ["bad.org"], ["casino"],
+                               keep_only=True).to_pandas()
+    assert out["url"].tolist() == ["https://good.org/y"]
