@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_decode": tp.media_jpeg_decode_q,
         "media_wav_decode": tp.media_wav_decode_q,
         "media_mjpeg_frames": tp.media_mjpeg_frames_q,
+        "media_jpeg_progressive": tp.media_jpeg_progressive_q,
         "pii_scrub": tp.pii_scrub_q,
         "lm_perplexity": tp.lm_perplexity_q,
         "url_filter": tp.url_filter_q,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_area_stats": sp.zone_area_stats_sql(d),
         "media_wav_decode": tp.MEDIA_WAV_SQL,
         "media_mjpeg_frames": tp.MEDIA_MJPEG_SQL,
+        "media_jpeg_progressive": tp.MEDIA_JPEG_PROGRESSIVE_SQL,
         "pii_scrub": tp._pii_sql(),
         "lm_perplexity": tp.LM_PERPLEXITY_SQL,
         "url_filter": tp.url_filter_sql(d),

@@ -514,6 +514,64 @@ def media_jpeg_decode_q(sf_dir: str, hw: int = 24):
         batch_format="pandas")
 
 
+def media_jpeg_progressive_q(sf_dir: str):
+    """REAL progressive-JPEG decode through the actor-pool media stage:
+    payloads are genuine SOF2 streams (flat-gray frames at quality 100,
+    muxed in-stream by the module's spectral-selection progressive
+    encoder — interleaved DC scan + banded AC scans that are pure EOB
+    runs) and the stage decodes them with the from-scratch T.81 §G
+    progressive path. FULLY SQL-ORACLED: flat-gray q100 decodes
+    bit-exactly (pinned in tests/test_jpeg_progressive.py), so every
+    output column — including the per-channel means — is closed-form in
+    doc_id."""
+    from ..stages import multimodal
+    from ..stages.jpeg import jpeg_encode_progressive
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(df: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for i in df["doc_id"]:
+            i = int(i)
+            g = (53 * i) % 256
+            w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+            blobs.append(jpeg_encode_progressive(
+                np.full((h, w), g, dtype=np.uint8), quality=100))
+        return pd.DataFrame({"media_id": df["doc_id"].astype(np.int64),
+                             "payload": blobs})
+
+    media = ds.map_batches(make_payload, batch_format="pandas")
+    out = multimodal.decode_media(media,
+                                  decoder_cls=multimodal.JpegImageDecoder)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "media_id": df["media_id"].astype(np.int64),
+            "height": df["height"].astype(np.int64),
+            "width": df["width"].astype(np.int64),
+            "channels": df["channels"].astype(np.int64),
+            "mean_r": df["mean_r"], "mean_g": df["mean_g"],
+            "mean_b": df["mean_b"]}),
+        batch_format="pandas")
+
+
+MEDIA_JPEG_PROGRESSIVE_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         (53 * doc_id) % 256 AS g,
+         8 * (1 + doc_id % 4) AS w,
+         8 * (1 + doc_id % 3) AS h
+  FROM documents)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(h AS BIGINT) AS height,
+       CAST(w AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(g AS DOUBLE) AS mean_r,
+       CAST(g AS DOUBLE) AS mean_g,
+       CAST(g AS DOUBLE) AS mean_b
+FROM b
+"""
+
+
 def media_wav_decode_q(sf_dir: str):
     """REAL audio decode through the actor-pool media stage — the WAV
     sibling of :func:`media_png_decode_q`. Payloads are genuine

@@ -2,27 +2,32 @@
 
 Companion to the PNG codec in :mod:`raster` — closes the most common
 real image format with zero external dependencies (this container has
-no PIL/libjpeg). Scope: baseline sequential DCT (SOF0), 8-bit samples,
-Huffman entropy coding, grayscale or YCbCr (any 1-2 sampling factors,
-so 4:4:4 / 4:2:2 / 4:2:0 all decode), restart intervals. Progressive
-(SOF2), arithmetic coding and 12-bit precision raise loudly — a silent
-wrong decode is worse than a refusal (same posture as the PNG path and
-the multi-ring WKB decoders).
+no PIL/libjpeg). Scope: baseline sequential DCT (SOF0) AND progressive
+DCT (SOF2: spectral selection, successive approximation, EOB runs, AC
+refinement per T.81 §G), 8-bit samples, Huffman entropy coding,
+grayscale or YCbCr (any 1-2 sampling factors, so 4:4:4 / 4:2:2 / 4:2:0
+all decode), restart intervals. Arithmetic coding, lossless,
+hierarchical and 12-bit precision raise loudly — a silent wrong decode
+is worse than a refusal (same posture as the PNG path and the
+multi-ring WKB decoders).
 
 Decode pipeline: segment parse -> per-segment Huffman tables (a 16-bit
 peek LUT per table: canonical JPEG codes are MSB-first prefix codes, so
 one 65536-entry symbol/length lookup decodes any code in O(1)) ->
-entropy decode per MCU (python loop over symbols; blocks are small and
-the stage runs inside an actor pool — the documented optimization path
-is a table-driven numpy scan) -> vectorized dezigzag + dequantize +
+entropy decode per MCU (the sequential hot path is an inline 32-bit
+bit-reservoir over packed plain-list LUTs; the progressive path favors
+clarity and uses _BitReader) -> vectorized dezigzag + dequantize +
 exact matrix IDCT over ALL blocks of a component at once -> plane
 assembly + nearest-neighbor chroma upsample -> JFIF YCbCr->RGB.
 
-The encoder exists for test vectors and the JPEG sink: 4:4:4, standard
-Annex-K-style tables (any valid prefix code round-trips; decode reads
-tables from the FILE, so decoder correctness never depends on the
-encoder's table choice). Golden tests pin analytically-known outputs
-(flat blocks quantize exactly) plus encode->decode error bounds.
+Two encoders exist for test vectors and the JPEG sink: 4:4:4 baseline
+(:func:`jpeg_encode`) and spectral-selection progressive
+(:func:`jpeg_encode_progressive`) — identical quantized coefficients,
+so decoding either stream of the same image is bit-identical (pinned
+in tests). Decode reads tables from the FILE, so decoder correctness
+never depends on the encoder's table choice. Golden tests pin
+analytically-known outputs (flat blocks quantize exactly) plus
+encode->decode error bounds.
 
 Reference parity: the reference pipeline ingests arbitrary web images
 via PIL (it never reimplements codecs); this module is the engine's
@@ -251,11 +256,12 @@ class _BitWriter:
 # ---------------------------------------------------------------------------
 
 def jpeg_decode(blob: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, C) uint8 (C = 1 or 3, RGB).
+    """JPEG bytes -> (H, W, C) uint8 (C = 1 or 3, RGB).
 
-    Raises ValueError on anything that is not a well-formed baseline
-    sequential JPEG (progressive, arithmetic, 12-bit, truncated or
-    corrupt streams)."""
+    Baseline sequential (SOF0) and progressive (SOF2: spectral
+    selection + successive approximation, EOB runs, AC refinement per
+    T.81 §G) Huffman streams decode; arithmetic, lossless, hierarchical
+    and 12-bit streams raise — refused, never mis-decoded."""
     if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI marker")
     qt: dict[int, np.ndarray] = {}
@@ -263,10 +269,13 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecodeTable] = {}
     frame = None
     restart_interval = 0
+    prog_coef = None                     # progressive: accumulated coeffs
+    prog_geo = None
+    prog_g = None
     i = 2
     n = len(blob)
     while True:
-        if i + 4 > n:
+        if i + 2 > n:
             raise ValueError("jpeg: truncated before SOS")
         if blob[i] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -276,7 +285,16 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             continue
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue                     # standalone markers
+        if marker == 0xD9:               # EOI (standalone)
+            if frame is not None and frame.get("prog") and prog_coef:
+                return _assemble(frame, frame["comps"], qt, prog_coef,
+                                 prog_geo[0], prog_geo[1])
+            raise ValueError("jpeg: EOI before a decodable scan")
+        if i + 2 > n:
+            raise ValueError("jpeg: truncated before SOS")
         (seg_len,) = struct.unpack_from(">H", blob, i)
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("jpeg: truncated or overrunning segment")
         seg = blob[i + 2: i + seg_len]
         i += seg_len
         if marker == 0xC4:               # DHT
@@ -305,7 +323,7 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                         .astype(np.int64)
                     p += 129
                 qt[pq_tq & 15] = q
-        elif marker == 0xC0:             # SOF0 baseline
+        elif marker in (0xC0, 0xC2):     # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -315,27 +333,44 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                     ">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg: only baseline sequential DCT (SOF0) is supported "
-                f"(got SOF marker 0x{marker:02X}; progressive/arithmetic "
-                "streams are refused, not mis-decoded)")
+                "jpeg: only baseline sequential (SOF0) and progressive "
+                f"(SOF2) DCT are supported (got SOF marker "
+                f"0x{marker:02X}; arithmetic/lossless/12-bit streams "
+                "are refused, not mis-decoded)")
         elif marker == 0xDD:             # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:             # SOS
             if frame is None:
-                raise ValueError("jpeg: SOS before SOF0")
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scan = []
+            scan_ids = []
             for c in range(ns):
                 cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * c)
-                comp = next(cc for cc in frame["comps"]
-                            if cc["id"] == cs)
+                ci, comp = next(
+                    (j, cc) for j, cc in enumerate(frame["comps"])
+                    if cc["id"] == cs)
                 scan.append((comp, td_ta >> 4, td_ta & 15))
-            return _decode_scan(blob, i, frame, scan, qt, huff_dc,
-                                huff_ac, restart_interval)
+                scan_ids.append(ci)
+            if not frame.get("prog"):
+                return _decode_scan(blob, i, frame, scan, qt, huff_dc,
+                                    huff_ac, restart_interval)
+            ss_, se_, ahal = struct.unpack_from(">BBB", seg, 1 + 2 * ns)
+            if prog_coef is None:
+                mcus_x, mcus_y, geo = _prog_geometry(frame)
+                prog_geo = (mcus_x, mcus_y)
+                prog_coef = [np.zeros((g["bx"] * g["by"], 64),
+                                      dtype=np.int32) for g in geo]
+                prog_g = geo
+            i = _decode_progressive_scan(
+                blob, i, frame, scan, scan_ids, prog_coef, prog_g,
+                prog_geo[0], prog_geo[1], huff_dc, huff_ac,
+                restart_interval, ss_, se_, ahal >> 4, ahal & 15)
         # else: APPn / COM / unknown -> skipped
     raise ValueError("jpeg: no SOS segment")
 
@@ -494,29 +529,214 @@ def _decode_scan(blob, i, frame, scan, qt, huff_dc, huff_ac,
     coeffs = [np.asarray(r, dtype=np.int32).reshape(c.shape)
               for r, c in zip(rows, coeffs)]
 
-    # dequantize + dezigzag + IDCT, vectorized per component
+    # convert MCU-block order -> raster block order, then the shared
+    # dequant/IDCT/assembly (also used by the progressive path)
+    raster = []
+    for ci, comp in enumerate(comps):
+        ch, cv = comp["h"], comp["v"]
+        perm = np.arange(n_mcus * cv * ch) \
+            .reshape(mcus_y, mcus_x, cv, ch) \
+            .transpose(0, 2, 1, 3).reshape(-1)
+        raster.append(coeffs[ci][perm])
+    return _assemble(frame, comps, qt, raster, mcus_x, mcus_y)
+
+
+def _prog_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    geo = []
+    for c in comps:
+        bx, by = mcus_x * c["h"], mcus_y * c["v"]      # padded grid
+        cw = -(-frame["w"] * c["h"] // hmax)           # true samples
+        chh = -(-frame["h"] * c["v"] // vmax)
+        geo.append({"bx": bx, "by": by,
+                    "tbx": -(-cw // 8), "tby": -(-chh // 8)})
+    return mcus_x, mcus_y, geo
+
+
+def _decode_progressive_scan(blob, i, frame, scan, scan_ids, coef, geo,
+                             mcus_x, mcus_y, huff_dc, huff_ac, ri,
+                             ss, se, ah, al):
+    """One progressive scan (ITU-T T.81 §G): spectral selection +
+    successive approximation, DC (interleaved or single-component) and
+    AC (single-component only, EOB runs, refinement correction bits).
+    Updates the per-component zigzag-order coefficient arrays in place;
+    returns the offset of the next marker.
+
+    Clarity over speed on purpose: progressive is the long-tail format
+    (the hot sequential path has the inline-reservoir loop); this path
+    uses _BitReader and plain block iteration.
+    """
+    if ah != 0 and ah != al + 1:
+        raise ValueError("jpeg: invalid successive approximation "
+                         f"(Ah={ah}, Al={al})")
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "jpeg: invalid progressive scan header (Ss=0 needs "
+                "Se=0 — a full-band scan is not valid progressive)")
+        tabs = []
+        for (comp, td, ta), _ in zip(scan, scan_ids):
+            if ah == 0:
+                t = huff_dc.get(td)
+                if t is None:
+                    raise ValueError("jpeg: scan references missing "
+                                     "Huffman table")
+                tabs.append(t)
+            else:
+                tabs.append(None)        # DC refinement: raw bits only
+    else:
+        if len(scan) != 1:
+            raise ValueError("jpeg: progressive AC scan must be "
+                             "single-component")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("jpeg: invalid spectral band")
+        t = huff_ac.get(scan[0][2])
+        if t is None:
+            raise ValueError("jpeg: scan references missing Huffman "
+                             "table")
+        tabs = [t]
+
+    # block sequence for this scan: list of (si, comp_index, raster_idx)
+    if len(scan) > 1:                    # interleaved (DC scans only)
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu = []
+                for si, (comp, _, _) in enumerate(scan):
+                    ci = scan_ids[si]
+                    ch, cv = comp["h"], comp["v"]
+                    for r in range(cv):
+                        for c in range(ch):
+                            mcu.append((si, ci,
+                                        (my * cv + r) * geo[ci]["bx"]
+                                        + mx * ch + c))
+                units.append(mcu)
+    else:                                # non-interleaved: true grid
+        ci = scan_ids[0]
+        g = geo[ci]
+        units = [[(0, ci, by_ * g["bx"] + bx_)]
+                 for by_ in range(g["tby"]) for bx_ in range(g["tbx"])]
+
+    segments, end = _split_entropy(blob, i)
+    per_seg = ri if ri else len(units)
+    if -(-len(units) // per_seg) != len(segments):
+        raise ValueError(
+            f"jpeg: expected {-(-len(units) // per_seg)} entropy "
+            f"segments for {len(units)} units at restart interval "
+            f"{per_seg}, got {len(segments)}")
+
+    p1 = 1 << al
+    m1 = -p1
+    u = 0
+    for seg_bytes in segments:
+        rd = _BitReader(seg_bytes)
+        pred = [0] * len(scan)
+        eobrun = 0
+        for mcu in units[u:u + per_seg]:
+            for si, ci, idx in mcu:
+                row = coef[ci][idx]
+                if ss == 0 and ah == 0:            # DC first
+                    s = rd.read_symbol(tabs[si])
+                    if s > 11:
+                        raise ValueError("jpeg: invalid DC category")
+                    if s:
+                        pred[si] += _extend(rd.read_bits(s), s)
+                    row[0] = pred[si] << al
+                elif ss == 0:                      # DC refinement
+                    if rd.read_bits(1):
+                        row[0] |= p1
+                elif ah == 0:                      # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = rd.read_symbol(tabs[0])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16            # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break                  # EOB(n)
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC run overflow")
+                        row[k] = _extend(rd.read_bits(s), s) << al
+                        k += 1
+                else:                              # AC refinement (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = rd.read_symbol(tabs[0])
+                            r, s = rs >> 4, rs & 15
+                            val = 0
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rd.read_bits(r)
+                                    break          # correction tail below
+                                # r == 15: skip 16 zero-history coeffs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "jpeg: invalid AC refinement "
+                                        "magnitude")
+                                val = p1 if rd.read_bits(1) else m1
+                            while k <= se:
+                                c = row[k]
+                                if c != 0:
+                                    if rd.read_bits(1) and not (c & p1):
+                                        row[k] = c + (p1 if c >= 0
+                                                      else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                row[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            c = row[k]
+                            if c != 0:
+                                if rd.read_bits(1) and not (c & p1):
+                                    row[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+            u += 1
+    return i + end
+
+
+def _assemble(frame, comps, qt, raster_coeffs, mcus_x, mcus_y):
+    """Per-component zigzag coefficient rows in RASTER block order over
+    the MCU-padded grid -> dequant + dezigzag + exact matrix IDCT ->
+    plane assembly + chroma upsample + colorspace, all vectorized."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for ci, comp in enumerate(comps):
         q = qt.get(comp["tq"])
         if q is None:
             raise ValueError("jpeg: missing quantization table")
-        zz = coeffs[ci].astype(np.float64) * q[np.newaxis, :]
+        zz = raster_coeffs[ci].astype(np.float64) * q[np.newaxis, :]
         rast = np.zeros_like(zz)
         rast[:, ZIGZAG] = zz             # zigzag position -> raster
         blocks = rast.reshape(-1, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A) + 128.0
-        # assemble: blocks are in MCU order, h*v per MCU (row-major
-        # within the MCU)
         ch, cv = comp["h"], comp["v"]
         bx, by = mcus_x * ch, mcus_y * cv
-        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
-        bidx = 0
-        grid = spatial.reshape(n_mcus, cv, ch, 8, 8)
-        for my in range(mcus_y):
-            row = grid[my * mcus_x:(my + 1) * mcus_x]  # (mcus_x,cv,ch,8,8)
-            row = row.transpose(1, 3, 0, 2, 4).reshape(cv * 8, mcus_x * ch * 8)
-            plane[my * cv * 8:(my + 1) * cv * 8] = row
-        del bidx
+        plane = spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(by * 8, bx * 8)
         # crop to the component's true size, then upsample to full res
         cw = -(-w * ch // hmax)
         chh = -(-h * cv // vmax)
@@ -728,4 +948,147 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
                                     pred[c], dc_c, dc_l, ac_c, ac_l)
     out += _pack_bits(emit_v, emit_l)
     out += b"\xff\xd9"                                        # EOI
+    return bytes(out)
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 90,
+                            bands=((1, 20), (21, 63))) -> bytes:
+    """Progressive (SOF2) twin of :func:`jpeg_encode`: IDENTICAL
+    quantized coefficients (same fdct / quality tables / zigzag),
+    emitted as an interleaved DC-first scan plus per-component banded
+    AC scans (spectral selection, Al=0) with EOB runs — decoding either
+    stream yields bit-identical pixels (pinned in
+    tests/test_jpeg_progressive.py). The decoder additionally handles
+    successive-approximation and AC-refinement scans; this encoder
+    emits the spectral-selection script, which any spec-compliant
+    progressive decoder accepts.
+
+    AC scans use a near-flat two-length Huffman table over all 256 rs
+    symbols because the Annex-K table lacks the EOBn symbols
+    progressive needs; decoders read tables from the file, so the
+    choice only costs bytes, never correctness.
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype != np.uint8 or img.ndim != 3 \
+            or img.shape[2] not in (1, 3):
+        raise ValueError("jpeg_encode_progressive: need (H, W, 1|3) uint8")
+    h, wd, nc = img.shape
+    lq, cq = _quality_tables(quality)
+    f = img.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        qts, tsel = [lq, cq, cq], [0, 1, 1]
+    else:
+        planes, qts, tsel = [f[..., 0]], [lq], [0]
+    ph, pw = -(-h // 8) * 8, -(-wd // 8) * 8
+    comp_zz = []
+    for p, q in zip(planes, qts):
+        pad = np.pad(p, ((0, ph - h), (0, pw - wd)), mode="edge") - 128.0
+        coef = _fdct_blocks(pad).reshape(-1, 64)
+        comp_zz.append(np.round(coef[:, ZIGZAG] / q[np.newaxis, :])
+                       .astype(np.int64))
+
+    dc_tabs = [_HuffEncodeTable(DC_LUMA_BITS, DC_LUMA_VALS),
+               _HuffEncodeTable(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    prog_ac_bits = [0] * 7 + [128, 128] + [0] * 7
+    prog_ac_vals = list(range(256))
+    ac_tab = _HuffEncodeTable(prog_ac_bits, prog_ac_vals)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    def cat(v):
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate([lq] if nc == 1 else [lq, cq]):
+        out += seg(0xDB, bytes([tq]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, wd, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, tsel[c]])
+    out += seg(0xC2, sof)
+    for t in range(1 if nc == 1 else 2):
+        db, dv = ((DC_LUMA_BITS, DC_LUMA_VALS),
+                  (DC_CHROMA_BITS, DC_CHROMA_VALS))[t]
+        out += seg(0xC4, bytes([t]) + bytes(db) + bytes(dv))
+        out += seg(0xC4, bytes([0x10 | t]) + bytes(prog_ac_bits)
+                   + bytes(prog_ac_vals))
+
+    def sos(comps_td_ta, ss, se, ah, al):
+        body = bytes([len(comps_td_ta)])
+        for cid, td, ta in comps_td_ta:
+            body += bytes([cid, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: interleaved DC first (4:4:4 -> one block per comp per MCU)
+    out += sos([(c + 1, tsel[c], 0) for c in range(nc)], 0, 0, 0, 0)
+    w = _BitWriter()
+    pred = [0] * nc
+    n_blocks = comp_zz[0].shape[0]
+    for bi in range(n_blocks):
+        for c in range(nc):
+            dc = int(comp_zz[c][bi, 0])
+            diff = dc - pred[c]
+            pred[c] = dc
+            s = cat(diff)
+            w.write(dc_tabs[tsel[c]].code[s], dc_tabs[tsel[c]].length[s])
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.flush()
+    out += w.out
+
+    # AC scans: per component, per spectral band, with EOB runs
+    for c in range(nc):
+        for ss, se in bands:
+            out += sos([(c + 1, 0, tsel[c])], ss, se, 0, 0)
+            w = _BitWriter()
+            eobrun = 0
+
+            def flush_eob(w=w):
+                nonlocal eobrun
+                while eobrun > 0:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    ext = min(eobrun, (2 << r) - 1) - (1 << r)
+                    w.write(ac_tab.code[r << 4], ac_tab.length[r << 4])
+                    if r:
+                        w.write(ext, r)
+                    eobrun -= (1 << r) + ext
+
+            for bi in range(n_blocks):
+                zz = comp_zz[c][bi]
+                nz = [k for k in range(ss, se + 1) if zz[k]]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                k = ss
+                for k2 in nz:
+                    run = 0
+                    while k < k2:
+                        if zz[k] == 0:
+                            run += 1
+                        k += 1
+                    while run > 15:
+                        w.write(ac_tab.code[0xF0], ac_tab.length[0xF0])
+                        run -= 16
+                    v = int(zz[k2])
+                    s = cat(v)
+                    w.write(ac_tab.code[(run << 4) | s],
+                            ac_tab.length[(run << 4) | s])
+                    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    k = k2 + 1
+                if nz[-1] < se:
+                    eobrun += 1
+            flush_eob()
+            w.flush()
+            out += w.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -126,12 +126,13 @@ class PngImageDecoder:
 
 
 class JpegImageDecoder:
-    """REAL image decode stage: baseline-JPEG payload bytes -> pixels
-    (stages/jpeg.py jpeg_decode, a from-scratch ITU-T T.81 baseline
-    decoder — struct + numpy only) -> per-image stats. Same actor-pool
-    shape and output contract as :class:`PngImageDecoder`; payload
-    dropped on output (wide-binary rule). Progressive / corrupt
-    payloads raise — they must surface, not pass as zeros."""
+    """REAL image decode stage: JPEG payload bytes -> pixels
+    (stages/jpeg.py jpeg_decode, a from-scratch ITU-T T.81 decoder for
+    baseline AND progressive streams — struct + numpy only) ->
+    per-image stats. Same actor-pool shape and output contract as
+    :class:`PngImageDecoder`; payload dropped on output (wide-binary
+    rule). Arithmetic/lossless/corrupt payloads raise — they must
+    surface, not pass as zeros."""
 
     def __init__(self, payload_col: str = "payload"):
         from .jpeg import jpeg_decode

@@ -177,12 +177,19 @@ def test_corrupt_and_unsupported_raise():
                 good[:-12], good[:20]):
         with pytest.raises(ValueError):
             jpeg_decode(bad)
-    # progressive (SOF2) is refused loudly, not mis-decoded
+    # progressive (SOF2) now DECODES (tests/test_jpeg_progressive.py),
+    # but a baseline-shaped full-band scan relabeled SOF2 is invalid
+    # progressive (Ss=0 requires Se=0) and must still refuse loudly
     prog = bytearray(good)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive"):
         jpeg_decode(bytes(prog))
+    # arithmetic / lossless SOF markers stay refused
+    arith = bytearray(good)
+    arith[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="refused"):
+        jpeg_decode(bytes(arith))
 
 
 def test_decoder_reads_tables_from_file_not_module():
