@@ -205,3 +205,99 @@ def test_progressive_truncated_raises():
     blob = encode_progressive(img, 90)
     with pytest.raises(ValueError):
         jpeg_decode(blob[:-4])
+
+
+def test_progressive_420_subsampled_hand_assembled():
+    """16x16 flat-color 4:2:0 progressive: interleaved DC scan walks
+    4 Y + 1 Cb + 1 Cr blocks per MCU while the per-component AC scans
+    walk each component's TRUE block grid (2x2 for Y, 1x1 for chroma) —
+    the padded-vs-true-grid indexing this pins is where subsampling
+    bugs hide. Flat color + all-ones quant -> exact pixels."""
+    # flat YCbCr (200, 120, 140) -> DC per block: (v-128)*8
+    yv, cb, cr = 200, 120, 140
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones()
+    out += _sof2(16, 16, [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)])
+    out += _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(1, 0, AC_BITS, AC_VALS)
+
+    # scan 1: interleaved DC first, Al=0. One MCU: Y x4, Cb, Cr.
+    out += _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 0)
+    w = _BitWriter()
+    for diffs in ([(yv - 128) * 8, 0, 0, 0], [(cb - 128) * 8],
+                  [(cr - 128) * 8]):
+        for d in diffs:
+            s = _cat(d)
+            _put(w, DC_T, s)
+            if s:
+                _put_mag(w, d, s)
+    w.flush()
+    out += w.out
+
+    # AC scans: per component over its TRUE grid (Y: 4 blocks, chroma:
+    # 1 each); flat -> one EOB per block
+    for cid, nblocks in ((1, 4), (2, 1), (3, 1)):
+        out += _sos([(cid, 0, 0)], 1, 63, 0, 0)
+        w = _BitWriter()
+        for _ in range(nblocks):
+            _put(w, AC_T, 0x00)
+        w.flush()
+        out += w.out
+    out += b"\xff\xd9"
+
+    img = jpeg_decode(bytes(out))
+    assert img.shape == (16, 16, 3)
+    # flat YCbCr -> flat RGB via the JFIF matrix (same rounding as the
+    # baseline decoder's flat-color tests)
+    r = round(yv + 1.402 * (cr - 128))
+    g = round(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = round(yv + 1.772 * (cb - 128))
+    assert (img[..., 0] == r).all()
+    assert (img[..., 1] == g).all()
+    assert (img[..., 2] == b).all()
+
+
+def test_progressive_420_odd_dims_chroma_grid():
+    """20x12 4:2:0: chroma true grid is ceil(10/8) x ceil(6/8) = 2x1
+    blocks while the padded grid is 2x1 MCU -> Y 4x2... the AC scan
+    block counts differ from the padded grid on BOTH axes. Flat color,
+    exact decode."""
+    yv, cb, cr = 99, 128, 128                     # gray chroma
+    h, wd = 12, 20
+    mcus_x, mcus_y = 2, 1                         # ceil(20/16), ceil(12/16)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones()
+    out += _sof2(h, wd, [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)])
+    out += _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(1, 0, AC_BITS, AC_VALS)
+
+    out += _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 0)
+    w = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for _mcu in range(mcus_x * mcus_y):
+        for cid, nb, v in ((1, 4, yv), (2, 1, cb), (3, 1, cr)):
+            for _ in range(nb):
+                d = (v - 128) * 8 - pred[cid]
+                pred[cid] = (v - 128) * 8
+                s = _cat(d)
+                _put(w, DC_T, s)
+                if s:
+                    _put_mag(w, d, s)
+    w.flush()
+    out += w.out
+
+    # true grids: Y ceil(20/8) x ceil(12/8) = 3x2 = 6 blocks (padded
+    # grid is 4x2!); chroma ceil(10/8) x ceil(6/8) = 2x1 = 2 blocks
+    for cid, nblocks in ((1, 6), (2, 2), (3, 2)):
+        out += _sos([(cid, 0, 0)], 1, 63, 0, 0)
+        w = _BitWriter()
+        for _ in range(nblocks):
+            _put(w, AC_T, 0x00)
+        w.flush()
+        out += w.out
+    out += b"\xff\xd9"
+
+    img = jpeg_decode(bytes(out))
+    assert img.shape == (h, wd, 3)
+    assert (img[..., 0] == yv).all()
+    assert (img[..., 1] == yv).all() and (img[..., 2] == yv).all()
