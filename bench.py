@@ -240,6 +240,8 @@ def run_bench() -> dict:
           lambda: tp.media_mjpeg_frames_q(SF_DIR).count())
     timed("lm_perplexity",
           lambda: tp.lm_perplexity_q(SF_DIR).count())
+    timed("media_jpeg_progressive",
+          lambda: tp.media_jpeg_progressive_q(SF_DIR).count())
 
     headline = timings["flagship"] + timings["pip_join"]
     result = {
