@@ -35,9 +35,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from socialmapper_ray.pipelines import curate as cur
     from socialmapper_ray.pipelines import relational as rel
     from socialmapper_ray.pipelines import spatial as sp
     from socialmapper_ray.pipelines import textops as tp
+
+    _curate_q = cur.curate_q
 
     # ORDER MATTERS: the driver's correctness gate compares the FIRST 50
     # entries against oracle_sql() at sf0.01. The window therefore holds
@@ -149,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": tp.pii_scrub_q,
         "lm_perplexity": tp.lm_perplexity_q,
         "url_filter": tp.url_filter_q,
+        "curate_corpus": _curate_q,
         "events_p99_filter": rel.events_p99_filter,
         "doc_rarity": tp.doc_rarity_q,
         "dedup_incremental_bloom": tp.dedup_incremental_bloom_q,

@@ -242,6 +242,10 @@ def run_bench() -> dict:
           lambda: tp.lm_perplexity_q(SF_DIR).count())
     timed("media_jpeg_progressive",
           lambda: tp.media_jpeg_progressive_q(SF_DIR).count())
+    from socialmapper_ray.pipelines import curate as cur
+
+    timed("curate_corpus",
+          lambda: cur.curate_q(SF_DIR).count())
 
     headline = timings["flagship"] + timings["pip_join"]
     result = {

@@ -1,0 +1,149 @@
+"""End-to-end web-corpus curation: the RefinedWeb/CCNet recipe as ONE
+streaming Dataset graph.
+
+Composes the engine's individually-oracled operators in the published
+order (RefinedWeb, Penedo 2023; CCNet, Wenzek 2019):
+
+    pages -> URL filter (blocklist + word rules, broadcast small side)
+          -> HTML -> text extraction (zero-copy Arrow)
+          -> quality gate (token count + alpha ratio, vectorized)
+          -> exact dedup (keyed text-hash exchange; min-row-id keep,
+             realized by a bucketed hash_join back onto the rows)
+          -> PII redaction (one vectorized pass)
+          -> bigram-LM perplexity fit + score (one keyed exchange +
+             one broadcast-scored pass)
+
+Every stage is a streaming map_batches or a keyed exchange — no
+driver-side row loops, no corpus materialization (the LM fit collects
+only the model, bounded by ``vocab_cap``). Each component's exactness
+is pinned by its own SQL-oracled gate (url_filter, extract_pois,
+text_quality, dedup_exact, pii_scrub, lm_perplexity); this pipeline's
+gate is the rows-only composition check plus the bench throughput
+entry.
+
+100 TB shape: three passes over the (shrinking) corpus — filter+gate,
+dedup exchange, LM fit/score — all shuffle-light: one keyed exchange
+for dedup, one zipf-bounded exchange for the LM fit, everything else
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import pii
+from ..functions import text as tx
+from ..functions import urlfilter
+from ..stages import lm as lm_mod
+from ..stages.hash_join import hash_join
+
+BLOCKLIST = ["src1.example.org", "src3.example.org"]
+BANNED_WORDS = ["casino", "bonus"]
+
+
+def curate(sf_dir: str, replicate: int = 1, min_tokens: int = 5,
+           min_alpha_milli: int = 400):
+    """-> Dataset (url, lang, n_tokens, pii_hits, nll_c) of the kept,
+    deduplicated, scored corpus."""
+    from ..sources import synth
+    from .flagship import read_pages
+
+    synth.ensure_synth(sf_dir, replicate)
+    pages = read_pages(sf_dir, replicate,
+                       columns=["url", "html", "lang"])
+
+    # 1. URL filter (vectorized; blocklist ships in the task closure)
+    kept = urlfilter.url_filter(pages, BLOCKLIST, BANNED_WORDS,
+                                keep_only=True)
+
+    # 2+3. extract + quality gate, Arrow-declared (fusion-safe)
+    def extract_gate(t: pa.Table) -> pa.Table:
+        text = tx.extract_main_text_arrow(t["html"]).to_pandas()
+        n_tok = tx.token_count(text)
+        alpha = tx.alpha_ratio_scaled(text)
+        keep = ((n_tok >= min_tokens)
+                & (alpha >= min_alpha_milli)).to_numpy()
+        return pa.table({
+            "url": pa.array(t["url"].to_pandas()[keep], pa.string()),
+            "lang": pa.array(t["lang"].to_pandas()[keep], pa.string()),
+            "text": pa.array(text[keep], pa.string()),
+            "n_tokens": pa.array(n_tok[keep].to_numpy(np.int64)),
+        })
+
+    gated = kept.map_batches(extract_gate, batch_format="pyarrow")
+
+    # 4. exact dedup: ONE keyed exchange over the md5 content hash
+    # (dedup.exact_dedup's shape) with the url_dedup keep rule
+    # (lexicographic-min url), realized back onto the row stream by a
+    # bucketed hash_join + filter
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import add_text_hash
+
+    def hashed(t: pa.Table) -> pa.Table:
+        df = add_text_hash(t.to_pandas(), "text")
+        return pa.table({
+            "url": pa.array(df["url"], pa.string()),
+            "lang": pa.array(df["lang"], pa.string()),
+            "text": pa.array(df["text"], pa.string()),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+            "text_hash": pa.array(df["text_hash"], pa.string()),
+        })
+
+    rows = gated.map_batches(hashed, batch_format="pyarrow")
+    keeps = rows.groupby("text_hash").aggregate(
+        Min("url", alias_name="keep_url"))
+    joined = hash_join(
+        rows, keeps, "text_hash", "text_hash",
+        ["text_hash", "url", "lang", "text", "n_tokens"],
+        ["text_hash", "keep_url"],
+        int_fill_cols=("n_tokens",),
+        pad_types={"url": pa.string(), "lang": pa.string(),
+                   "text": pa.string(), "keep_url": pa.string()})
+    deduped = joined.filter(expr="url == keep_url")
+
+    # 5. PII redaction (counts + redacted text in one pass)
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        out = pii.scrub_batch(df, text_col="text")
+        return pd.DataFrame({
+            "url": out["url"], "lang": out["lang"],
+            "text": out["redacted"],
+            "n_tokens": out["n_tokens"].astype(np.int64),
+            "pii_hits": (out["n_email"] + out["n_ipv4"]
+                         + out["n_phone"]).astype(np.int64)})
+
+    clean = deduped.map_batches(scrub, batch_format="pandas")
+
+    # 6. LM perplexity: fit on the cleaned corpus, score each doc
+    model = lm_mod.fit_bigram_model(clean)
+    scored = lm_mod.score_perplexity(clean, model, id_col="url")
+
+    # attach scores back to the slim row set (url is unique post-dedup)
+    slim = clean.drop_columns(["text"])
+    out = hash_join(slim, scored, "url", "url",
+                    ["url", "lang", "n_tokens", "pii_hits"],
+                    ["url", "nll_c"],
+                    int_fill_cols=("n_tokens", "pii_hits", "nll_c"),
+                    pad_types={"lang": pa.string()})
+    return out
+
+
+def curate_q(sf_dir: str):
+    """Rows-only gate: the composed pipeline must run end to end and
+    emit one row per kept doc with stable integer columns; each
+    component's exactness has its own SQL-oracled gate."""
+    ds = curate(sf_dir)
+    cols = ["url", "lang", "n_tokens", "pii_hits", "nll_c"]
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": df["url"].astype(str),
+            "lang": df["lang"].astype(str),
+            "n_tokens": df["n_tokens"].astype(np.int64),
+            "pii_hits": df["pii_hits"].astype(np.int64),
+            "nll_c": df["nll_c"].astype(np.int64)})
+
+    return ds.map_batches(fin, batch_format="pandas") \
+        .select_columns(cols)

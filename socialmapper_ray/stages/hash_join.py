@@ -25,9 +25,19 @@ import pandas as pd
 
 
 def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
-    k = keys.astype(np.int64)
-    return ((k * np.int64(0x9E3779B1)) % np.int64(2 ** 31)
-            % np.int64(n_buckets)).astype(np.int64)
+    """Bucket id per key. Integer keys take the Fibonacci-multiply
+    route; string (or any non-numeric) keys route through the
+    vectorized fixed-key siphash (util.route_hash64 — ROUTING only,
+    which is all a bucket id is): both sides of a join hash the same
+    key identically, so co-location holds for any key dtype."""
+    if getattr(keys, "dtype", None) is not None \
+            and keys.dtype.kind in "iu":
+        k = keys.astype(np.int64)
+        return ((k * np.int64(0x9E3779B1)) % np.int64(2 ** 31)
+                % np.int64(n_buckets)).astype(np.int64)
+    from ..util import route_hash64
+
+    return (route_hash64(keys) % np.int64(n_buckets)).astype(np.int64)
 
 
 #: fill value for absent int columns — never read (join_bucket selects
