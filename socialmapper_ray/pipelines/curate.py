@@ -21,10 +21,13 @@ text_quality, dedup_exact, pii_scrub, lm_perplexity); this pipeline's
 gate is the rows-only composition check plus the bench throughput
 entry.
 
-100 TB shape: three passes over the (shrinking) corpus — filter+gate,
-dedup exchange, LM fit/score — all shuffle-light: one keyed exchange
-for dedup, one zipf-bounded exchange for the LM fit, everything else
-embarrassingly parallel.
+100 TB shape: the filter/extract/dedup phase runs ONCE and checkpoints
+the cleaned corpus to partitioned parquet (the engine's resumable
+idiom — left lazy, the LM fit and score would each re-execute the
+whole upstream: measured 2x pipeline cost); the LM fit and score then
+stream from the checkpoint. Shuffle-light throughout: one keyed
+exchange for dedup, one zipf-bounded exchange for the LM fit,
+everything else embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -44,9 +47,13 @@ BANNED_WORDS = ["casino", "bonus"]
 
 
 def curate(sf_dir: str, replicate: int = 1, min_tokens: int = 5,
-           min_alpha_milli: int = 400):
+           min_alpha_milli: int = 400, stage_dir: str | None = None):
     """-> Dataset (url, lang, n_tokens, pii_hits, nll_c) of the kept,
-    deduplicated, scored corpus."""
+    deduplicated, scored corpus. ``stage_dir``: where the cleaned
+    corpus is checkpointed between the filter/dedup phase and the LM
+    fit/score phase (fresh temp dir when None)."""
+    import tempfile
+
     from ..sources import synth
     from .flagship import read_pages
 
@@ -116,9 +123,23 @@ def curate(sf_dir: str, replicate: int = 1, min_tokens: int = 5,
 
     clean = deduped.map_batches(scrub, batch_format="pandas")
 
-    # 6. LM perplexity: fit on the cleaned corpus, score each doc
-    model = lm_mod.fit_bigram_model(clean)
-    scored = lm_mod.score_perplexity(clean, model, id_col="url")
+    # 6. LM perplexity: fit on the cleaned corpus, score each doc.
+    # The fit and the score are two separate consumers of `clean`; left
+    # lazy they would each re-execute the whole upstream (filter +
+    # extract + dedup exchange + join — measured 2x the pipeline cost).
+    # Stage the cleaned corpus to parquet ONCE instead — the engine's
+    # checkpoint idiom and exactly what a resumable 100 TB run does
+    # (partitioned files, re-readable, never a driver materialize).
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="curate_stage_",
+                                     dir="/tmp")
+    clean.write_parquet(stage_dir)
+    import ray.data as rd
+
+    staged = rd.read_parquet(stage_dir)
+    model = lm_mod.fit_bigram_model(staged)
+    scored = lm_mod.score_perplexity(staged, model, id_col="url")
+    clean = staged
 
     # attach scores back to the slim row set (url is unique post-dedup)
     slim = clean.drop_columns(["text"])
