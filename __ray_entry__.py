@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_decode": tp.media_wav_decode_q,
         "media_mjpeg_frames": tp.media_mjpeg_frames_q,
         "media_jpeg_progressive": tp.media_jpeg_progressive_q,
+        "media_gif_decode": tp.media_gif_decode_q,
         "pii_scrub": tp.pii_scrub_q,
         "lm_perplexity": tp.lm_perplexity_q,
         "url_filter": tp.url_filter_q,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "media_wav_decode": tp.MEDIA_WAV_SQL,
         "media_mjpeg_frames": tp.MEDIA_MJPEG_SQL,
         "media_jpeg_progressive": tp.MEDIA_JPEG_PROGRESSIVE_SQL,
+        "media_gif_decode": tp.MEDIA_GIF_SQL,
         "pii_scrub": tp._pii_sql(),
         "lm_perplexity": tp.LM_PERPLEXITY_SQL,
         "url_filter": tp.url_filter_sql(d),

@@ -572,6 +572,70 @@ FROM b
 """
 
 
+def media_gif_decode_q(sf_dir: str):
+    """REAL GIF decode through the actor-pool media stage: payloads are
+    genuine GIF89a files (one per doc_id, LZW-compressed in-stream by
+    the from-scratch encoder; every 2nd doc a 2-frame animation) and
+    the stage decodes them with the from-scratch variable-width LZW
+    decoder (stages/gif.py). FULLY SQL-ORACLED, exact-integer: GIF is
+    lossless and the synthesized index pattern (x + 7y + d) mod nc is
+    uniform over the palette because nc divides the width, so each
+    channel sum is (w*h/nc) * sum(palette channel) — closed form in
+    doc_id; one wrong pixel or palette entry flips the hash."""
+    from ..stages import multimodal
+    from ..stages.gif import gif_encode
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(df: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for i in df["doc_id"]:
+            i = int(i)
+            nc = (4, 8, 16)[i % 3]
+            w, h = nc * (1 + i % 3), 5 + i % 7
+            ii = np.arange(nc, dtype=np.int64)
+            pal = np.stack([(17 * ii + i) % 256, (29 * ii) % 256,
+                            (31 * ii + 2 * i) % 256],
+                           axis=1).astype(np.uint8)
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            idx = ((x + 7 * y + i) % nc).astype(np.uint8)
+            frames = [idx] if i % 2 == 0 else [idx, (idx + 1) % nc]
+            blobs.append(gif_encode(frames, pal))
+        return pd.DataFrame({"media_id": df["doc_id"].astype(np.int64),
+                             "payload": blobs})
+
+    media = ds.map_batches(make_payload, batch_format="pandas")
+    out = multimodal.decode_media(media,
+                                  decoder_cls=multimodal.GifImageDecoder)
+    cols = ["media_id", "height", "width", "n_frames", "sum_r",
+            "sum_g", "sum_b"]
+    return out.map_batches(
+        lambda df: df[cols].astype(np.int64), batch_format="pandas")
+
+
+MEDIA_GIF_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, doc_id AS d,
+         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS nc,
+         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END
+           * (1 + doc_id % 3) AS w,
+         5 + doc_id % 7 AS h
+  FROM documents)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(h AS BIGINT) AS height,
+       CAST(w AS BIGINT) AS width,
+       CAST(1 + d % 2 AS BIGINT) AS n_frames,
+       CAST((w * h // nc) * list_sum(list_transform(range(nc),
+            i -> (17 * i + d) % 256)) AS BIGINT) AS sum_r,
+       CAST((w * h // nc) * list_sum(list_transform(range(nc),
+            i -> (29 * i) % 256)) AS BIGINT) AS sum_g,
+       CAST((w * h // nc) * list_sum(list_transform(range(nc),
+            i -> (31 * i + 2 * d) % 256)) AS BIGINT) AS sum_b
+FROM b
+"""
+
+
 def media_wav_decode_q(sf_dir: str):
     """REAL audio decode through the actor-pool media stage — the WAV
     sibling of :func:`media_png_decode_q`. Payloads are genuine

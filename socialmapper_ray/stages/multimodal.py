@@ -346,3 +346,8 @@ def media_frames(ds, concurrency=2, batch_size: int = 256, **kw):
     return ds.map_batches(FrameSampleStage, fn_constructor_kwargs=kw,
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=0.5)
+
+
+# Re-export: the GIF decode stage lives with its codec (stages/gif.py)
+# but is addressed through this module like the other media decoders.
+from .gif import GifImageDecoder  # noqa: E402,F401
