@@ -242,6 +242,8 @@ def run_bench() -> dict:
           lambda: tp.lm_perplexity_q(SF_DIR).count())
     timed("media_jpeg_progressive",
           lambda: tp.media_jpeg_progressive_q(SF_DIR).count())
+    timed("media_gif_decode",
+          lambda: tp.media_gif_decode_q(SF_DIR).count())
     from socialmapper_ray.pipelines import curate as cur
 
     timed("curate_corpus",
